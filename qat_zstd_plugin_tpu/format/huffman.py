@@ -1,0 +1,212 @@
+"""Huffman literals encoding — golden model (RFC 8878 §4.2).
+
+zstd Huffman specifics owned here:
+* length-limited canonical codes (max 11 bits), complete (Kraft sum == 1,
+  required because the decoder derives the last symbol's weight to complete a
+  power of two);
+* weight serialization: direct 4-bit nibbles, or FSE-compressed weights using
+  the two-state interleaved FSE scheme;
+* backward bitstreams, literals encoded last-symbol-first so the decoder
+  regenerates forward; 1-stream and 4-stream (jump table) layouts.
+
+The reference plugin left all of this to libzstd; this golden model is the
+spec for the C++ native encoder and the TPU packers.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import fse
+from .bitstream import BackwardBitWriter
+
+MAX_CODE_BITS = 11
+MAX_FSE_WEIGHT_ACCURACY = 6
+
+
+@dataclass
+class HuffmanTable:
+    nb_bits: np.ndarray   # (256,) int32, 0 = symbol absent
+    codes: np.ndarray     # (256,) int32
+    max_bits: int
+    last_symbol: int      # largest present symbol
+
+
+def build_table(hist: np.ndarray) -> HuffmanTable:
+    """Length-limited canonical Huffman table from a byte histogram."""
+    hist = np.asarray(hist, dtype=np.int64)
+    present = np.nonzero(hist)[0]
+    if len(present) < 2:
+        raise ValueError("degenerate alphabet: use RLE/raw literals instead")
+
+    # 1. Plain Huffman lengths via a heap.
+    heap: list[tuple[int, int, tuple]] = []
+    uid = 0
+    for s in present:
+        heap.append((int(hist[s]), uid, (int(s),)))
+        uid += 1
+    heapq.heapify(heap)
+    lengths = np.zeros(256, dtype=np.int64)
+    while len(heap) > 1:
+        fa, _, syms_a = heapq.heappop(heap)
+        fb, _, syms_b = heapq.heappop(heap)
+        merged = syms_a + syms_b
+        for s in merged:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, uid, merged))
+        uid += 1
+
+    # 2. Limit to MAX_CODE_BITS and repair the Kraft sum to exactly 1.
+    lengths = np.minimum(lengths, MAX_CODE_BITS)
+    unit = 1 << MAX_CODE_BITS  # work in units of 2^-MAX_CODE_BITS
+
+    def kraft() -> int:
+        return int(sum(unit >> int(lengths[s]) for s in present))
+
+    # Over-subscribed: lengthen the least-frequent symbols first.
+    by_freq = sorted(present, key=lambda s: int(hist[s]))
+    while kraft() > unit:
+        for s in by_freq:
+            if lengths[s] < MAX_CODE_BITS:
+                lengths[s] += 1
+                break
+        else:  # pragma: no cover
+            raise AssertionError("cannot repair Kraft sum")
+        if kraft() <= unit:
+            break
+    # Under-subscribed: shorten the most frequent symbols while it fits.
+    gap = unit - kraft()
+    by_freq_desc = sorted(present, key=lambda s: -int(hist[s]))
+    while gap > 0:
+        progressed = False
+        for s in by_freq_desc:
+            l = int(lengths[s])
+            if l > 1 and (unit >> l) <= gap:  # shortening adds 2^-l
+                lengths[s] = l - 1
+                gap -= unit >> l
+                progressed = True
+                if gap == 0:
+                    break
+        if not progressed:  # pragma: no cover
+            raise AssertionError("cannot complete Kraft sum")
+    assert kraft() == unit
+
+    max_bits = int(lengths[present].max())
+    # 3. Canonical code values (mirrors libzstd's valPerRank assignment so
+    # codes index the decoder's rank-ordered table layout).
+    nb_per_rank = np.zeros(MAX_CODE_BITS + 2, dtype=np.int64)
+    for s in present:
+        nb_per_rank[int(lengths[s])] += 1
+    val_per_rank = np.zeros(MAX_CODE_BITS + 2, dtype=np.int64)
+    mn = 0
+    for n in range(max_bits, 0, -1):
+        val_per_rank[n] = mn
+        mn += int(nb_per_rank[n])
+        mn >>= 1
+    codes = np.zeros(256, dtype=np.int64)
+    for s in range(256):
+        l = int(lengths[s])
+        if l > 0:
+            codes[s] = val_per_rank[l]
+            val_per_rank[l] += 1
+    return HuffmanTable(lengths.astype(np.int32), codes.astype(np.int32),
+                        max_bits, int(present[-1]))
+
+
+def weights(table: HuffmanTable) -> list[int]:
+    """Weights for symbols 0..last_symbol-1 (last symbol's weight derived)."""
+    out = []
+    for s in range(table.last_symbol):
+        nb = int(table.nb_bits[s])
+        out.append(0 if nb == 0 else table.max_bits + 1 - nb)
+    return out
+
+
+def _fse_compress_weights(ws: list[int]) -> bytes | None:
+    """Two-state interleaved FSE compression of the weight list."""
+    if len(ws) < 2:
+        return None
+    hist = np.bincount(np.asarray(ws, dtype=np.int64), minlength=13)
+    if int((hist > 0).sum()) < 2:
+        return None  # single-valued: FSE can't help (RLE not allowed here)
+    max_al = min(MAX_FSE_WEIGHT_ACCURACY,
+                 max(1, (len(ws) - 1).bit_length()))
+    try:
+        norm = fse.normalize_counts(hist, max_al, total=len(ws))
+    except ValueError:
+        return None
+    desc = fse.write_ncount(norm, max_al)
+    enc_table = fse.build_encode_table(norm, max_al)
+    w = BackwardBitWriter()
+    n = len(ws)
+    # C1 handles even indices, C2 odd; inits consume the top index of each
+    # parity, then strictly alternating descending encodes, flush C2 then C1.
+    if n % 2 == 1:
+        c1 = fse.FseEncoder(enc_table, ws[n - 1])
+        c2 = fse.FseEncoder(enc_table, ws[n - 2])
+        start = n - 3
+    else:
+        c2 = fse.FseEncoder(enc_table, ws[n - 1])
+        c1 = fse.FseEncoder(enc_table, ws[n - 2])
+        start = n - 3
+    i = start
+    while i >= 0:
+        (c2 if i % 2 == 1 else c1).encode(ws[i], w)
+        i -= 1
+    c2.flush(w)
+    c1.flush(w)
+    stream = w.close()
+    out = desc + stream
+    if len(out) >= 128 or len(out) >= len(ws):
+        return None
+    return out
+
+
+def serialize_tree(table: HuffmanTable) -> bytes:
+    """Huffman_Tree_Description: header byte + weights."""
+    ws = weights(table)
+    fse_ws = _fse_compress_weights(ws)
+    n = len(ws)
+    direct: bytes | None = None
+    if n <= 128:
+        body = bytearray()
+        for i in range(0, n, 2):
+            hi = ws[i] << 4
+            lo = ws[i + 1] if i + 1 < n else 0
+            body.append(hi | lo)
+        direct = bytes([127 + n]) + bytes(body)
+    if fse_ws is not None and (direct is None or len(fse_ws) + 1 < len(direct)):
+        return bytes([len(fse_ws)]) + fse_ws
+    if direct is None:
+        raise ValueError("cannot serialize huffman tree (too many weights)")
+    return direct
+
+
+def _encode_stream(data: np.ndarray, table: HuffmanTable) -> bytes:
+    """One backward Huffman stream: symbols encoded last-first."""
+    w = BackwardBitWriter()
+    nb = table.nb_bits
+    codes = table.codes
+    for b in data[::-1]:
+        w.add(int(codes[b]), int(nb[b]))
+    return w.close()
+
+
+def encode_literals(data: np.ndarray, table: HuffmanTable,
+                    four_streams: bool) -> bytes:
+    """Huffman-coded literal payload (streams only, no headers/tree)."""
+    if not four_streams:
+        return _encode_stream(data, table)
+    n = len(data)
+    seg = (n + 3) // 4
+    assert n > 3 * seg - 3 and seg >= 1
+    parts = [data[0:seg], data[seg:2 * seg], data[2 * seg:3 * seg],
+             data[3 * seg:n]]
+    streams = [_encode_stream(p, table) for p in parts]
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        raise ValueError("stream too large for jump table")
+    return jump + b"".join(streams)
