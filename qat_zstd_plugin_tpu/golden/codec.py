@@ -1,0 +1,92 @@
+"""Golden CPU codec: full compress pipeline without any accelerator.
+
+This is the framework's software-fallback path — the role libzstd's internal
+compressor plays when the reference plugin's producer errors out
+(`ZSTD_c_enableSeqProducerFallback`, README.md:197-198, test/test.c:109) —
+and the correctness spec for the TPU pipeline.
+
+Levels 1-12 mirror the reference's supported range
+(src/qatseqprod.c:86-87, 1132-1137): higher level = deeper chain search +
+lazy parse; entropy choices are identical across levels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..format import frame, tables
+from ..format.frame import BlockSequences
+from . import matcher
+
+MIN_LEVEL = 1
+MAX_LEVEL = 12
+
+
+@dataclass(frozen=True)
+class LevelParams:
+    chain_depth: int
+    lazy: bool
+    custom_tables: bool = True
+    huffman: bool = True
+
+
+LEVEL_TABLE: dict[int, LevelParams] = {
+    1: LevelParams(2, False),
+    2: LevelParams(4, False),
+    3: LevelParams(8, False),
+    4: LevelParams(16, False),
+    5: LevelParams(8, True),
+    6: LevelParams(16, True),
+    7: LevelParams(32, True),
+    8: LevelParams(48, True),
+    9: LevelParams(64, True),
+    10: LevelParams(96, True),
+    11: LevelParams(128, True),
+    12: LevelParams(256, True),
+}
+
+
+def level_params(level: int) -> LevelParams:
+    if not MIN_LEVEL <= level <= MAX_LEVEL:
+        raise ValueError(
+            f"unsupported level {level}: supported range "
+            f"{MIN_LEVEL}..{MAX_LEVEL}")  # same guard as qatseqprod.c:1132
+    return LEVEL_TABLE[level]
+
+
+def compress_block_sequences(block: np.ndarray, level: int
+                             ) -> BlockSequences:
+    """The block-level sequence producer (golden): the direct analog of
+    `qatSequenceProducer` (src/qatseqprod.c:1106) minus the hardware."""
+    p = level_params(level)
+    return matcher.find_sequences(block, chain_depth=p.chain_depth,
+                                  lazy=p.lazy)
+
+
+def compress(data: bytes | np.ndarray, level: int = 1,
+             block_size: int = tables.BLOCK_SIZE_MAX,
+             checksum: bool = True, validate: bool = False) -> bytes:
+    """Compress to a complete zstd frame, CPU-only golden path."""
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
+        data, np.ndarray) else np.ascontiguousarray(data, dtype=np.uint8)
+    p = level_params(level)
+    n = len(buf)
+    nblocks = max(1, -(-n // block_size))
+    bodies: list[bytes | None] = []
+    for i in range(nblocks):
+        blk = buf[i * block_size:(i + 1) * block_size]
+        if len(blk) < 64:
+            bodies.append(None)  # tiny blocks: raw wins after overhead
+            continue
+        seqs = compress_block_sequences(blk, level)
+        if validate:
+            matcher.validate_sequences(blk, seqs)
+        try:
+            bodies.append(frame.encode_block_body(
+                blk, seqs, allow_custom_tables=p.custom_tables,
+                try_huffman=p.huffman))
+        except ValueError:
+            bodies.append(None)  # per-block fallback to raw
+    return frame.assemble_frame(buf, bodies, block_size, checksum)
