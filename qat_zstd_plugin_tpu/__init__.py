@@ -1,0 +1,120 @@
+"""qat_zstd_plugin_tpu — a TPU-native zstd-format codec.
+
+A from-scratch re-imagining of intel/QAT-ZSTD-Plugin for TPU hardware:
+where the reference offloads LZ77 match finding of 128 KiB blocks to Intel
+QAT accelerators and leaves entropy coding to libzstd, this framework runs
+match finding as batched XLA/Pallas programs on TPU and owns the complete
+zstd frame (FSE/Huffman entropy coding included). Stock zstd >= 1.5.4
+decodes every frame bit-exactly.
+
+Public API parity with the reference's five functions
+(src/qatseqprod.h:72-151):
+
+    QZSTD_version           -> version()
+    QZSTD_startQatDevice    -> start_device() -> Status
+    QZSTD_stopQatDevice     -> stop_device()
+    QZSTD_createSeqProdState-> create_seqprod_state(level=...)
+    QZSTD_freeSeqProdState  -> free_seqprod_state(state)
+    qatSequenceProducer     -> sequence_producer(state, block) -> sequences
+
+plus the frame-level surface the reference delegates to libzstd:
+
+    compress(data, level=1)    -> complete zstd frame (bytes)
+    decompress(frame)          -> bytes (via stock libzstd oracle)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .format import tables
+from .format.frame import BlockSequences
+from .runtime.device import Status, start_device, stop_device, status
+from .runtime.tpu_codec import TpuCodec
+
+__version__ = "0.1.0"
+
+# Sentinel mirroring ZSTD_SEQUENCE_PRODUCER_ERROR (src/qatseqprod.h:94-95).
+SEQUENCE_PRODUCER_ERROR = object()
+
+BLOCK_SIZE_MAX = tables.BLOCK_SIZE_MAX
+
+
+def version() -> str:
+    return __version__
+
+
+class SeqProdState:
+    """Per-stream producer state (QZSTD_createSeqProdState analog).
+
+    Holds the codec instance (compiled-pipeline cache keyed on level/shape,
+    the analog of the reference's per-session QAT session + intermediate
+    buffer reuse, src/qatseqprod.c:1211-1220) and the failure counter."""
+
+    def __init__(self, level: int = 1, batch: int = 8,
+                 block_size: int = BLOCK_SIZE_MAX):
+        self.level = level
+        self.codec = TpuCodec(level=level, batch=batch,
+                              block_size=block_size)
+        self.freed = False
+
+
+def create_seqprod_state(level: int = 1, **kw) -> SeqProdState:
+    return SeqProdState(level=level, **kw)
+
+
+def free_seqprod_state(state: SeqProdState) -> None:
+    state.freed = True
+    state.codec = None
+
+
+def sequence_producer(state: SeqProdState, block: bytes | np.ndarray,
+                      window_size: int | None = None):
+    """Block-level producer: returns a list of (offset, lit_length,
+    match_length) triples plus a final literals-only entry — the exact
+    ZSTD_Sequence contract (src/qatseqprod.h:85-95, and the final
+    literal-only sequence convention of QZSTD_decLz4s,
+    src/qatseqprod.c:1037-1045). Returns SEQUENCE_PRODUCER_ERROR on any
+    failure so callers can fall back, mirroring the producer ABI."""
+    if state is None or state.freed:
+        return SEQUENCE_PRODUCER_ERROR
+    buf = np.frombuffer(block, np.uint8) if not isinstance(
+        block, np.ndarray) else block
+    n = len(buf)
+    if n > BLOCK_SIZE_MAX:
+        return SEQUENCE_PRODUCER_ERROR  # srcSize cap, src/qatseqprod.c:1204
+    if window_size is not None and window_size < min(n, 32 * 1024):
+        return SEQUENCE_PRODUCER_ERROR  # window floor, src/qatseqprod.c:1123
+    try:
+        from .golden import codec as golden_codec
+        seqs = golden_codec.compress_block_sequences(buf, state.level)
+    except Exception:
+        return SEQUENCE_PRODUCER_ERROR
+    out = [(int(o), int(l), int(m)) for l, o, m in
+           zip(seqs.lit_lengths, seqs.offsets, seqs.match_lengths)]
+    out.append((0, int(seqs.last_literals), 0))
+    return out
+
+
+def compress(data: bytes | np.ndarray, level: int = 1,
+             block_size: int = BLOCK_SIZE_MAX, checksum: bool = True,
+             use_device: bool | None = None, batch: int = 8) -> bytes:
+    """Compress to a complete zstd frame.
+
+    use_device=None auto-selects: device pipeline when a non-CPU backend is
+    available, golden CPU path otherwise (the soft-fallback posture of the
+    reference, README.md:197-198)."""
+    if use_device is None:
+        st = start_device()
+        use_device = st == Status.OK
+    codec = TpuCodec(level=level, batch=batch, block_size=block_size,
+                     use_device=use_device)
+    return codec.compress(data, checksum=checksum)
+
+
+def decompress(frame_bytes: bytes, expected_size: int | None = None
+               ) -> bytes:
+    """Decode via stock libzstd (decompression stays software in the
+    reference too — test/benchmark.c decompresses with plain DCtx)."""
+    from . import oracle
+    return oracle.decompress(frame_bytes, expected_size)

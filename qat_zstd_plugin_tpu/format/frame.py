@@ -229,5 +229,5 @@ def assemble_frame(data: bytes | np.ndarray,
         blk = buf[i * block_size:(i + 1) * block_size]
         out += emit_block(blk, block_bodies[i], last=(i == nblocks - 1))
     if checksum:
-        out += content_checksum(buf.tobytes()).to_bytes(4, "little")
+        out += content_checksum(buf).to_bytes(4, "little")
     return bytes(out)

@@ -275,7 +275,8 @@ def normalize_counts(hist: np.ndarray, accuracy_log: int,
     if delta != 0:
         # Distribute by largest remainder (positive delta) or take from the
         # largest buckets (negative delta), never dropping a symbol below 1.
-        order = np.argsort(-(scaled - np.maximum(norm, 0)))
+        # Stable sorts so tie-breaks match the native C++ encoder exactly.
+        order = np.argsort(-(scaled - np.maximum(norm, 0)), kind="stable")
         i = 0
         while delta > 0:
             s = int(order[i % len(order)])
@@ -287,7 +288,7 @@ def normalize_counts(hist: np.ndarray, accuracy_log: int,
                 s = int(np.argmax(norm))
                 norm[s] += delta
                 delta = 0
-        big = np.argsort(-norm)
+        big = np.argsort(-norm, kind="stable")
         i = 0
         while delta < 0:
             s = int(big[i % len(big)])

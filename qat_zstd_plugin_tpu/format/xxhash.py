@@ -86,6 +86,16 @@ def xxh64(data: bytes | np.ndarray, seed: int = 0) -> int:
     return int(h)
 
 
-def content_checksum(data: bytes) -> int:
-    """Low 32 bits of XXH64(data, 0) — the zstd frame checksum field."""
+def content_checksum(data) -> int:
+    """Low 32 bits of XXH64(data, 0) — the zstd frame checksum field.
+
+    Accepts bytes or a uint8 array. Prefers the native runtime
+    (differentially tested against the NumPy implementation above); the
+    Python path is the spec/golden fallback."""
+    try:
+        from .. import native
+        if native.available():
+            return native.xxh64(data, 0) & 0xFFFFFFFF
+    except ImportError:  # pragma: no cover
+        pass
     return xxh64(data, 0) & 0xFFFFFFFF

@@ -1,0 +1,120 @@
+"""Native host runtime bindings (ctypes over libqz_entropy.so).
+
+Auto-builds with g++ on first import if the shared object is missing or
+stale. Falls back cleanly (available() == False) when no toolchain exists;
+callers then use the Python golden model — the same graceful-degradation
+posture as the reference's device-unavailable path."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libqz_entropy.so")
+_SRC = os.path.join(_DIR, "qz_entropy.cc")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["sh", os.path.join(_DIR, "build.sh")], check=True,
+                       capture_output=True, timeout=300)
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    stale = (not os.path.exists(_SO)
+             or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    if stale and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.qz_xxh64.restype = ctypes.c_uint64
+    lib.qz_xxh64.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                             ctypes.c_uint64]
+    lib.qz_block_body.restype = ctypes.c_size_t
+    lib.qz_block_body.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,   # block
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # seq arrays
+        ctypes.c_size_t, ctypes.c_uint32,   # nseq, last_literals
+        ctypes.c_int, ctypes.c_int,         # allow_custom, try_huffman
+        ctypes.c_void_p, ctypes.c_size_t]   # dst, cap
+    lib.qz_find_sequences.restype = ctypes.c_size_t
+    lib.qz_find_sequences.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def xxh64(data, seed: int = 0) -> int:
+    """XXH64 over bytes or a uint8 numpy array (zero-copy for arrays)."""
+    lib = _load()
+    assert lib is not None
+    if isinstance(data, np.ndarray):
+        arr = np.ascontiguousarray(data, np.uint8)
+        return int(lib.qz_xxh64(arr.ctypes.data, arr.size, seed))
+    return int(lib.qz_xxh64(data, len(data), seed))
+
+
+def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
+               match_lens: np.ndarray, last_literals: int,
+               allow_custom: bool = True, try_huffman: bool = True
+               ) -> bytes | None:
+    """Compressed block body from sequences; None -> caller emits raw."""
+    lib = _load()
+    assert lib is not None
+    block = np.ascontiguousarray(block, np.uint8)
+    ll = np.ascontiguousarray(lit_lens, np.uint32)
+    of = np.ascontiguousarray(offsets, np.uint32)
+    ml = np.ascontiguousarray(match_lens, np.uint32)
+    cap = len(block) + 512
+    dst = np.empty(cap, np.uint8)
+    n = lib.qz_block_body(
+        block.ctypes.data, len(block), ll.ctypes.data, of.ctypes.data,
+        ml.ctypes.data, len(ll), last_literals, int(allow_custom),
+        int(try_huffman), dst.ctypes.data, cap)
+    if n == 0:
+        return None
+    return dst[:n].tobytes()
+
+
+def find_sequences(block: np.ndarray, chain_depth: int, lazy: bool,
+                   cap: int | None = None):
+    """Native hash-chain matcher. Returns (lit, off, ml, last_literals)."""
+    lib = _load()
+    assert lib is not None
+    block = np.ascontiguousarray(block, np.uint8)
+    n = len(block)
+    if cap is None:
+        cap = max(16, n // 3 + 2)
+    ll = np.empty(cap, np.uint32)
+    of = np.empty(cap, np.uint32)
+    ml = np.empty(cap, np.uint32)
+    lastlit = ctypes.c_uint32(0)
+    got = lib.qz_find_sequences(
+        block.ctypes.data, n, chain_depth, int(lazy), ll.ctypes.data,
+        of.ctypes.data, ml.ctypes.data, cap, ctypes.byref(lastlit))
+    if got == ctypes.c_size_t(-1).value:
+        raise OverflowError("sequence capacity exceeded")
+    return (ll[:got].astype(np.int64), of[:got].astype(np.int64),
+            ml[:got].astype(np.int64), int(lastlit.value))

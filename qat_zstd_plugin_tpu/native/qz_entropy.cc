@@ -1,0 +1,1103 @@
+// qz_entropy.cc — native host runtime: zstd entropy coding + frame assembly.
+//
+// The fast-path implementation of the format/ golden model (bit-compatible
+// by construction, differentially tested from Python). This plays the role
+// libzstd's entropy stage plays for the reference plugin (the reference
+// emits sequences and lets libzstd do FSE/Huffman; our TPU pipeline emits
+// sequences and this runtime finishes the frame), plus a complete software
+// fallback compressor (hash-chain matcher) mirroring the reference's
+// libzstd soft-fallback posture (README.md:197-198).
+//
+// Written from the RFC 8878 format spec; no code from the reference (which
+// contains no entropy coder) or libzstd.
+//
+// C ABI at the bottom; driven from Python via ctypes (native_bridge.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace qz {
+
+// ---------------------------------------------------------------- bitstream
+
+// Backward-read bitstream (FSE/Huffman payloads): LSB-first accumulation,
+// closed with a single '1' sentinel then zero-padded to a byte.
+struct BackwardBitWriter {
+  uint64_t acc = 0;
+  int nbits = 0;
+  std::vector<uint8_t> out;
+
+  inline void add(uint64_t value, int nb) {
+    acc |= value << nbits;
+    nbits += nb;
+    while (nbits >= 8) {
+      out.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  inline void add_masked(uint64_t value, int nb) {
+    add(value & ((1ull << nb) - 1), nb);
+  }
+  std::vector<uint8_t> close() {
+    add(1, 1);
+    if (nbits) {
+      out.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc = 0;
+      nbits = 0;
+    }
+    return std::move(out);
+  }
+};
+
+// Forward LSB-first bitstream (FSE table descriptions).
+struct ForwardBitWriter {
+  uint64_t acc = 0;
+  int nbits = 0;
+  std::vector<uint8_t> out;
+  inline void add(uint64_t value, int nb) {
+    acc |= value << nbits;
+    nbits += nb;
+    while (nbits >= 8) {
+      out.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  std::vector<uint8_t> close() {
+    if (nbits) {
+      out.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc = 0;
+      nbits = 0;
+    }
+    return std::move(out);
+  }
+};
+
+static inline int highbit(uint32_t v) { return 31 - __builtin_clz(v); }
+
+// ---------------------------------------------------------------- xxhash64
+
+static const uint64_t P1 = 11400714785074694791ull;
+static const uint64_t P2 = 14029467366897019727ull;
+static const uint64_t P3 = 1609587929392839161ull;
+static const uint64_t P4 = 9650029242287828579ull;
+static const uint64_t P5 = 2870177450012600261ull;
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+  return (x << r) | (x >> (64 - r));
+}
+static inline uint64_t xxh_round(uint64_t acc, uint64_t lane) {
+  return rotl64(acc + lane * P2, 31) * P1;
+}
+static inline uint64_t xxh_merge(uint64_t acc, uint64_t val) {
+  return (acc ^ xxh_round(0, val)) * P1 + P4;
+}
+static inline uint64_t rd64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+static inline uint32_t rd32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+uint64_t xxh64(const uint8_t* p, size_t n, uint64_t seed) {
+  const uint8_t* end = p + n;
+  uint64_t h;
+  if (n >= 32) {
+    uint64_t a1 = seed + P1 + P2, a2 = seed + P2, a3 = seed, a4 = seed - P1;
+    const uint8_t* limit = end - 32;
+    do {
+      a1 = xxh_round(a1, rd64(p));
+      a2 = xxh_round(a2, rd64(p + 8));
+      a3 = xxh_round(a3, rd64(p + 16));
+      a4 = xxh_round(a4, rd64(p + 24));
+      p += 32;
+    } while (p <= limit);
+    h = rotl64(a1, 1) + rotl64(a2, 7) + rotl64(a3, 12) + rotl64(a4, 18);
+    h = xxh_merge(h, a1);
+    h = xxh_merge(h, a2);
+    h = xxh_merge(h, a3);
+    h = xxh_merge(h, a4);
+  } else {
+    h = seed + P5;
+  }
+  h += static_cast<uint64_t>(n);
+  while (p + 8 <= end) {
+    h ^= xxh_round(0, rd64(p));
+    h = rotl64(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= static_cast<uint64_t>(rd32(p)) * P1;
+    h = rotl64(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (*p) * P5;
+    h = rotl64(h, 11) * P1;
+    ++p;
+  }
+  h ^= h >> 33;
+  h *= P2;
+  h ^= h >> 29;
+  h *= P3;
+  h ^= h >> 32;
+  return h;
+}
+
+// ---------------------------------------------------------------- FSE
+
+struct FseEncodeTable {
+  int accuracy_log = 0;
+  std::vector<uint16_t> state_table;      // (size,), values in [size, 2size)
+  std::vector<int64_t> delta_nb_bits;     // per symbol
+  std::vector<int32_t> delta_find_state;  // per symbol
+};
+
+// Canonical symbol spread (RFC 8878 §4.1.1). Returns false on bad counts.
+static bool spread_symbols(const std::vector<int>& norm, int al,
+                           std::vector<int>* table) {
+  int size = 1 << al;
+  int mask = size - 1;
+  table->assign(size, -1);
+  int high = size - 1;
+  for (size_t s = 0; s < norm.size(); ++s)
+    if (norm[s] == -1) (*table)[high--] = static_cast<int>(s);
+  int step = (size >> 1) + (size >> 3) + 3;
+  int pos = 0;
+  for (size_t s = 0; s < norm.size(); ++s) {
+    for (int c = 0; c < norm[s]; ++c) {
+      (*table)[pos] = static_cast<int>(s);
+      pos = (pos + step) & mask;
+      while (pos > high) pos = (pos + step) & mask;
+    }
+  }
+  return pos == 0;
+}
+
+bool build_encode_table(const std::vector<int>& norm, int al,
+                        FseEncodeTable* t) {
+  int size = 1 << al;
+  std::vector<int> spread;
+  if (!spread_symbols(norm, al, &spread)) return false;
+  size_t nsym = norm.size();
+  t->accuracy_log = al;
+  t->state_table.assign(size, 0);
+  std::vector<int> cumul(nsym + 1, 0);
+  for (size_t s = 0; s < nsym; ++s)
+    cumul[s + 1] = cumul[s] + (norm[s] == -1 ? 1 : norm[s]);
+  if (cumul[nsym] != size) return false;
+  std::vector<int> fill(cumul.begin(), cumul.begin() + nsym);
+  for (int u = 0; u < size; ++u) {
+    int s = spread[u];
+    t->state_table[fill[s]++] = static_cast<uint16_t>(size + u);
+  }
+  t->delta_nb_bits.assign(nsym, 0);
+  t->delta_find_state.assign(nsym, 0);
+  int total = 0;
+  for (size_t s = 0; s < nsym; ++s) {
+    int c = norm[s];
+    if (c == 0) {
+      t->delta_nb_bits[s] = ((int64_t)(al + 1) << 16) - (1 << al);
+      t->delta_find_state[s] = 0;
+    } else if (c == -1 || c == 1) {
+      t->delta_nb_bits[s] = ((int64_t)al << 16) - (1 << al);
+      t->delta_find_state[s] = total - 1;
+      total += 1;
+    } else {
+      int max_bits_out = al - highbit(c - 1);
+      int64_t min_state_plus = (int64_t)c << max_bits_out;
+      t->delta_nb_bits[s] = ((int64_t)max_bits_out << 16) - min_state_plus;
+      t->delta_find_state[s] = total - c;
+      total += c;
+    }
+  }
+  return true;
+}
+
+struct FseEncoder {
+  const FseEncodeTable* t = nullptr;
+  int state = 0;
+  bool rle = false;  // accuracy-log-0 degenerate machine: no bits
+
+  void init(const FseEncodeTable* table, int first_symbol) {
+    t = table;
+    int64_t tt_nb = t->delta_nb_bits[first_symbol];
+    int nb_out = static_cast<int>((tt_nb + (1 << 15)) >> 16);
+    int64_t value = ((int64_t)nb_out << 16) - tt_nb;
+    int idx = static_cast<int>((value >> nb_out) +
+                               t->delta_find_state[first_symbol]);
+    state = t->state_table[idx];
+  }
+  inline void encode(int symbol, BackwardBitWriter* w) {
+    if (rle) return;
+    int nb = static_cast<int>((state + t->delta_nb_bits[symbol]) >> 16);
+    w->add_masked(state, nb);
+    state = t->state_table[(state >> nb) + t->delta_find_state[symbol]];
+  }
+  inline void flush(BackwardBitWriter* w) {
+    if (rle) return;
+    w->add_masked(state, t->accuracy_log);
+  }
+};
+
+// NCount serialization (forward bitstream). Returns false on bad counts.
+bool write_ncount(const std::vector<int>& norm, int al,
+                  std::vector<uint8_t>* out) {
+  int size = 1 << al;
+  ForwardBitWriter w;
+  w.add(al - 5, 4);
+  int remaining = size + 1;
+  int threshold = size;
+  int nb_bits = al + 1;
+  size_t symbol = 0;
+  bool previous_is_0 = false;
+  size_t nsym = norm.size();
+  while (remaining > 1 && symbol < nsym) {
+    if (previous_is_0) {
+      size_t start = symbol;
+      while (symbol < nsym && norm[symbol] == 0) ++symbol;
+      if (symbol == nsym) return false;
+      size_t run = symbol;
+      while (run >= start + 24) {
+        start += 24;
+        w.add(0xFFFF, 16);
+      }
+      while (run >= start + 3) {
+        start += 3;
+        w.add(3, 2);
+      }
+      w.add(run - start, 2);
+    }
+    int count = norm[symbol++];
+    int vmax = (2 * threshold - 1) - remaining;
+    remaining -= count < 0 ? -count : count;
+    count += 1;
+    if (count >= threshold) count += vmax;
+    if (count < vmax)
+      w.add(count, nb_bits - 1);
+    else
+      w.add(count, nb_bits);
+    previous_is_0 = (count == 1);
+    if (remaining < 1) return false;
+    while (remaining < threshold) {
+      --nb_bits;
+      threshold >>= 1;
+    }
+  }
+  if (remaining != 1) return false;
+  *out = w.close();
+  return true;
+}
+
+// Histogram normalization: largest-remainder with low-prob cutoff, repaired
+// against the largest buckets (mirrors format/fse.py normalize_counts).
+bool normalize_counts(const std::vector<int64_t>& hist_in, int al,
+                      int64_t total, std::vector<int>* out) {
+  int size = 1 << al;
+  int last = -1;
+  for (size_t s = 0; s < hist_in.size(); ++s)
+    if (hist_in[s] > 0) last = static_cast<int>(s);
+  if (last < 0 || total <= 0) return false;
+  std::vector<int64_t> hist(hist_in.begin(), hist_in.begin() + last + 1);
+  int npresent = 0;
+  for (auto h : hist)
+    if (h > 0) ++npresent;
+  if (npresent < 2 || npresent > size) return false;
+
+  size_t n = hist.size();
+  std::vector<double> scaled(n);
+  std::vector<int64_t> norm(n, 0);
+  for (size_t s = 0; s < n; ++s) {
+    scaled[s] = static_cast<double>(hist[s]) * size / total;
+    norm[s] = static_cast<int64_t>(scaled[s]);  // floor (scaled >= 0)
+    if (hist[s] > 0 && scaled[s] < 1.0)
+      norm[s] = -1;
+    else if (hist[s] > 0 && norm[s] == 0)
+      norm[s] = 1;
+  }
+  auto cur_sum = [&]() {
+    int64_t t = 0;
+    for (auto v : norm) t += (v == -1 ? 1 : v);
+    return t;
+  };
+  int64_t delta = size - cur_sum();
+  if (delta != 0) {
+    std::vector<size_t> order(n);
+    for (size_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+      double ra = scaled[a] - std::max<int64_t>(norm[a], 0);
+      double rb = scaled[b] - std::max<int64_t>(norm[b], 0);
+      return ra > rb;
+    });
+    size_t i = 0;
+    while (delta > 0) {
+      size_t s = order[i % n];
+      if (norm[s] >= 1) {
+        ++norm[s];
+        --delta;
+      }
+      ++i;
+      if (i > 10 * n) {
+        size_t mx = 0;
+        for (size_t s2 = 1; s2 < n; ++s2)
+          if (norm[s2] > norm[mx]) mx = s2;
+        norm[mx] += delta;
+        delta = 0;
+      }
+    }
+    std::vector<size_t> big(n);
+    for (size_t j = 0; j < n; ++j) big[j] = j;
+    std::stable_sort(big.begin(), big.end(),
+                     [&](size_t a, size_t b) { return norm[a] > norm[b]; });
+    i = 0;
+    while (delta < 0) {
+      size_t s = big[i % n];
+      if (norm[s] > 1) {
+        int64_t take = std::min<int64_t>(norm[s] - 1, -delta);
+        norm[s] -= take;
+        delta += take;
+      }
+      ++i;
+      if (i > 10 * n) return false;
+    }
+  }
+  int64_t mxv = 0;
+  for (auto v : norm) mxv = std::max(mxv, v);
+  if (mxv >= size) return false;
+  out->assign(norm.begin(), norm.end());
+  return true;
+}
+
+// ---------------------------------------------------------------- Huffman
+
+static const int MAX_CODE_BITS = 11;
+
+struct HuffmanTable {
+  int nb_bits[256] = {0};
+  uint16_t codes[256] = {0};
+  int max_bits = 0;
+  int last_symbol = 0;
+};
+
+// Length-limited canonical Huffman (mirrors format/huffman.py build_table,
+// including the heap tie-break discipline, so outputs are byte-identical).
+bool build_huffman(const int64_t* hist, HuffmanTable* t) {
+  std::vector<int> present;
+  for (int s = 0; s < 256; ++s)
+    if (hist[s] > 0) present.push_back(s);
+  if (present.size() < 2) return false;
+
+  struct Node {
+    int64_t freq;
+    int uid;
+    std::vector<int> syms;
+  };
+  auto cmp = [](const Node& a, const Node& b) {
+    return a.freq != b.freq ? a.freq > b.freq : a.uid > b.uid;
+  };
+  std::priority_queue<Node, std::vector<Node>, decltype(cmp)> heap(cmp);
+  int uid = 0;
+  for (int s : present) heap.push({hist[s], uid++, {s}});
+  std::vector<int64_t> lengths(256, 0);
+  while (heap.size() > 1) {
+    Node a = heap.top();
+    heap.pop();
+    Node b = heap.top();
+    heap.pop();
+    Node m{a.freq + b.freq, uid++, {}};
+    m.syms.reserve(a.syms.size() + b.syms.size());
+    m.syms.insert(m.syms.end(), a.syms.begin(), a.syms.end());
+    m.syms.insert(m.syms.end(), b.syms.begin(), b.syms.end());
+    for (int s : m.syms) ++lengths[s];
+    heap.push(std::move(m));
+  }
+  for (int s : present) lengths[s] = std::min<int64_t>(lengths[s],
+                                                       MAX_CODE_BITS);
+  const int64_t unit = 1ll << MAX_CODE_BITS;
+  auto kraft = [&]() {
+    int64_t k = 0;
+    for (int s : present) k += unit >> lengths[s];
+    return k;
+  };
+  std::vector<int> by_freq(present);
+  std::stable_sort(by_freq.begin(), by_freq.end(),
+                   [&](int a, int b) { return hist[a] < hist[b]; });
+  while (kraft() > unit) {
+    bool progressed = false;
+    for (int s : by_freq) {
+      if (lengths[s] < MAX_CODE_BITS) {
+        ++lengths[s];
+        progressed = true;
+        break;
+      }
+    }
+    if (!progressed) return false;
+  }
+  int64_t gap = unit - kraft();
+  std::vector<int> by_freq_desc(present);
+  std::stable_sort(by_freq_desc.begin(), by_freq_desc.end(),
+                   [&](int a, int b) { return hist[a] > hist[b]; });
+  while (gap > 0) {
+    bool progressed = false;
+    for (int s : by_freq_desc) {
+      int64_t l = lengths[s];
+      if (l > 1 && (unit >> l) <= gap) {
+        lengths[s] = l - 1;
+        gap -= unit >> l;
+        progressed = true;
+        if (gap == 0) break;
+      }
+    }
+    if (!progressed) return false;
+  }
+
+  int max_bits = 0;
+  for (int s : present)
+    max_bits = std::max<int>(max_bits, static_cast<int>(lengths[s]));
+  int nb_per_rank[MAX_CODE_BITS + 2] = {0};
+  for (int s : present) ++nb_per_rank[lengths[s]];
+  int val_per_rank[MAX_CODE_BITS + 2] = {0};
+  int mn = 0;
+  for (int nb = max_bits; nb > 0; --nb) {
+    val_per_rank[nb] = mn;
+    mn += nb_per_rank[nb];
+    mn >>= 1;
+  }
+  for (int s = 0; s < 256; ++s) {
+    t->nb_bits[s] = static_cast<int>(lengths[s]);
+    t->codes[s] = 0;
+  }
+  for (int s = 0; s < 256; ++s) {
+    int l = static_cast<int>(lengths[s]);
+    if (l > 0) t->codes[s] = static_cast<uint16_t>(val_per_rank[l]++);
+  }
+  t->max_bits = max_bits;
+  t->last_symbol = present.back();
+  return true;
+}
+
+// Huffman weights -> serialized tree description (header + weights).
+// Mirrors format/huffman.py serialize_tree incl. the FSE-vs-direct choice.
+static bool fse_compress_weights(const std::vector<int>& ws,
+                                 std::vector<uint8_t>* out) {
+  if (ws.size() < 2) return false;
+  std::vector<int64_t> hist(13, 0);
+  int maxw = 0;
+  for (int w : ws) {
+    ++hist[w];
+    maxw = std::max(maxw, w);
+  }
+  int distinct = 0;
+  for (auto h : hist)
+    if (h > 0) ++distinct;
+  if (distinct < 2) return false;
+  int nbits = 1;
+  while ((1u << nbits) < ws.size()) ++nbits;
+  int max_al = std::min(6, std::max(1, nbits));
+  std::vector<int> norm;
+  if (!normalize_counts(hist, max_al, static_cast<int64_t>(ws.size()),
+                        &norm))
+    return false;
+  std::vector<uint8_t> desc;
+  if (!write_ncount(norm, max_al, &desc)) return false;
+  FseEncodeTable t;
+  if (!build_encode_table(norm, max_al, &t)) return false;
+  BackwardBitWriter w;
+  std::ptrdiff_t n = static_cast<std::ptrdiff_t>(ws.size());
+  FseEncoder c1, c2;
+  // C1 carries even indices, C2 odd; inits consume the top index of each
+  // parity; strictly alternating descending encodes; flush C2 then C1.
+  if (n % 2 == 1) {
+    c1.init(&t, ws[n - 1]);
+    c2.init(&t, ws[n - 2]);
+  } else {
+    c2.init(&t, ws[n - 1]);
+    c1.init(&t, ws[n - 2]);
+  }
+  for (std::ptrdiff_t ii = n - 3; ii >= 0; --ii) {
+    (ii % 2 == 1 ? c2 : c1).encode(ws[ii], &w);
+  }
+  c2.flush(&w);
+  c1.flush(&w);
+  std::vector<uint8_t> stream = w.close();
+  out->clear();
+  out->insert(out->end(), desc.begin(), desc.end());
+  out->insert(out->end(), stream.begin(), stream.end());
+  if (out->size() >= 128 || out->size() >= ws.size()) return false;
+  return true;
+}
+
+bool serialize_tree(const HuffmanTable& t, std::vector<uint8_t>* out) {
+  std::vector<int> ws;
+  for (int s = 0; s < t.last_symbol; ++s) {
+    int nb = t.nb_bits[s];
+    ws.push_back(nb == 0 ? 0 : t.max_bits + 1 - nb);
+  }
+  std::vector<uint8_t> fse_ws;
+  bool has_fse = fse_compress_weights(ws, &fse_ws);
+  std::vector<uint8_t> direct;
+  bool has_direct = false;
+  if (ws.size() <= 128) {
+    direct.push_back(static_cast<uint8_t>(127 + ws.size()));
+    for (size_t i = 0; i < ws.size(); i += 2) {
+      int hi = ws[i] << 4;
+      int lo = (i + 1 < ws.size()) ? ws[i + 1] : 0;
+      direct.push_back(static_cast<uint8_t>(hi | lo));
+    }
+    has_direct = true;
+  }
+  if (has_fse && (!has_direct || fse_ws.size() + 1 < direct.size())) {
+    out->clear();
+    out->push_back(static_cast<uint8_t>(fse_ws.size()));
+    out->insert(out->end(), fse_ws.begin(), fse_ws.end());
+    return true;
+  }
+  if (!has_direct) return false;
+  *out = std::move(direct);
+  return true;
+}
+
+static std::vector<uint8_t> huf_stream(const uint8_t* data, size_t n,
+                                       const HuffmanTable& t) {
+  BackwardBitWriter w;
+  for (size_t i = n; i-- > 0;) {
+    uint8_t b = data[i];
+    w.add(t.codes[b], t.nb_bits[b]);
+  }
+  return w.close();
+}
+
+// ------------------------------------------------------- literals section
+
+static void lit_header_rawrle(int lit_type, size_t n,
+                              std::vector<uint8_t>* out) {
+  if (n < 32) {
+    out->push_back(static_cast<uint8_t>(lit_type | (n << 3)));
+  } else if (n < 4096) {
+    uint32_t v = lit_type | (1u << 2) | (static_cast<uint32_t>(n) << 4);
+    out->push_back(v & 0xFF);
+    out->push_back((v >> 8) & 0xFF);
+  } else {
+    uint32_t v = lit_type | (3u << 2) | (static_cast<uint32_t>(n) << 4);
+    out->push_back(v & 0xFF);
+    out->push_back((v >> 8) & 0xFF);
+    out->push_back((v >> 16) & 0xFF);
+  }
+}
+
+// Best of Raw / RLE / Huffman-compressed literals section.
+bool encode_literals_section(const uint8_t* lit, size_t n, bool try_huffman,
+                             std::vector<uint8_t>* out) {
+  out->clear();
+  bool all_same = n > 0;
+  for (size_t i = 1; i < n && all_same; ++i) all_same = lit[i] == lit[0];
+  if (n > 0 && all_same) {
+    lit_header_rawrle(1 /*RLE*/, n, out);
+    out->push_back(lit[0]);
+    return true;
+  }
+  // Raw baseline.
+  std::vector<uint8_t> raw;
+  lit_header_rawrle(0 /*Raw*/, n, &raw);
+  raw.insert(raw.end(), lit, lit + n);
+
+  if (try_huffman && n >= 16) {
+    int64_t hist[256] = {0};
+    for (size_t i = 0; i < n; ++i) ++hist[lit[i]];
+    HuffmanTable t;
+    if (build_huffman(hist, &t)) {
+      std::vector<uint8_t> tree;
+      if (serialize_tree(t, &tree)) {
+        bool four = n > 1023;
+        std::vector<uint8_t> payload;
+        if (!four) {
+          payload = huf_stream(lit, n, t);
+        } else {
+          size_t seg = (n + 3) / 4;
+          std::vector<uint8_t> s0 = huf_stream(lit, seg, t);
+          std::vector<uint8_t> s1 = huf_stream(lit + seg, seg, t);
+          std::vector<uint8_t> s2 = huf_stream(lit + 2 * seg, seg, t);
+          std::vector<uint8_t> s3 = huf_stream(lit + 3 * seg, n - 3 * seg, t);
+          if (s0.size() <= 0xFFFF && s1.size() <= 0xFFFF &&
+              s2.size() <= 0xFFFF) {
+            for (auto* s : {&s0, &s1, &s2}) {
+              payload.push_back(s->size() & 0xFF);
+              payload.push_back((s->size() >> 8) & 0xFF);
+            }
+            payload.insert(payload.end(), s0.begin(), s0.end());
+            payload.insert(payload.end(), s1.begin(), s1.end());
+            payload.insert(payload.end(), s2.begin(), s2.end());
+            payload.insert(payload.end(), s3.begin(), s3.end());
+          } else {
+            payload.clear();
+          }
+        }
+        size_t comp = tree.size() + payload.size();
+        if (!payload.empty() || (!four && comp > 0)) {
+          std::vector<uint8_t> sec;
+          bool ok = true;
+          if (!four) {
+            if (n < 1024 && comp < 1024) {
+              uint32_t v = 2u | (0u << 2) |
+                           (static_cast<uint32_t>(n) << 4) |
+                           (static_cast<uint32_t>(comp) << 14);
+              sec = {static_cast<uint8_t>(v & 0xFF),
+                     static_cast<uint8_t>((v >> 8) & 0xFF),
+                     static_cast<uint8_t>((v >> 16) & 0xFF)};
+            } else {
+              ok = false;
+            }
+          } else if (n < (1u << 14) && comp < (1u << 14)) {
+            uint32_t v = 2u | (2u << 2) | (static_cast<uint32_t>(n) << 4) |
+                         (static_cast<uint32_t>(comp) << 18);
+            sec = {static_cast<uint8_t>(v & 0xFF),
+                   static_cast<uint8_t>((v >> 8) & 0xFF),
+                   static_cast<uint8_t>((v >> 16) & 0xFF),
+                   static_cast<uint8_t>((v >> 24) & 0xFF)};
+          } else if (n < (1u << 18) && comp < (1u << 18)) {
+            uint64_t v = 2u | (3u << 2) | (static_cast<uint64_t>(n) << 4) |
+                         (static_cast<uint64_t>(comp) << 22);
+            for (int i = 0; i < 5; ++i)
+              sec.push_back(static_cast<uint8_t>((v >> (8 * i)) & 0xFF));
+          } else {
+            ok = false;
+          }
+          if (ok) {
+            sec.insert(sec.end(), tree.begin(), tree.end());
+            sec.insert(sec.end(), payload.begin(), payload.end());
+            if (sec.size() < raw.size()) {
+              *out = std::move(sec);
+              return true;
+            }
+          }
+        }
+      }
+    }
+  }
+  *out = std::move(raw);
+  return true;
+}
+
+// ------------------------------------------------------ sequences section
+
+// Code tables (RFC 8878 §3.1.1.3.2.1.1) — mirror format/tables.py.
+static const uint32_t LL_BASE[36] = {
+    0,  1,  2,  3,  4,  5,   6,   7,   8,   9,    10,   11,
+    12, 13, 14, 15, 16, 18,  20,  22,  24,  28,   32,   40,
+    48, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536};
+static const int LL_BITS[36] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+                                4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const uint32_t ML_BASE[53] = {
+    3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14,  15,  16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28,  29,  30,
+    31, 32, 33, 34, 35, 37, 39, 41, 43, 47, 51, 59,  67,  83,
+    99, 131, 259, 515, 1027, 2051, 4099, 8195, 16387, 32771, 65539};
+static const int ML_BITS[53] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4,
+                                5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const int LL_DEFAULT_DIST[36] = {4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+                                        2, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+                                        2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1,
+                                        -1};
+static const int ML_DEFAULT_DIST[53] = {
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1};
+static const int OF_DEFAULT_DIST[29] = {1, 1, 1, 1, 1, 1, 2, 2, 2, 1,
+                                        1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                                        1, 1, 1, 1, -1, -1, -1, -1, -1};
+
+static inline int ll_code(uint32_t ll) {
+  if (ll < 16) return static_cast<int>(ll);
+  int lo = 16, hi = 35;
+  while (lo < hi) {
+    int mid = (lo + hi + 1) >> 1;
+    if (LL_BASE[mid] <= ll)
+      lo = mid;
+    else
+      hi = mid - 1;
+  }
+  return lo;
+}
+static inline int ml_code(uint32_t ml) {
+  if (ml <= 34) return static_cast<int>(ml - 3);
+  int lo = 32, hi = 52;
+  while (lo < hi) {
+    int mid = (lo + hi + 1) >> 1;
+    if (ML_BASE[mid] <= ml)
+      lo = mid;
+    else
+      hi = mid - 1;
+  }
+  return lo;
+}
+
+struct TablePlan {
+  int mode = 0;  // 0 predefined, 1 RLE, 2 FSE
+  std::vector<uint8_t> desc;
+  FseEncodeTable table;
+  int rle_symbol = -1;
+  double bit_cost = 0;
+};
+
+// Cached predefined encode tables.
+static const FseEncodeTable& predef_table(int kind) {
+  static FseEncodeTable ll, of, ml;
+  static bool init_done = false;
+  if (!init_done) {
+    build_encode_table(std::vector<int>(LL_DEFAULT_DIST, LL_DEFAULT_DIST + 36),
+                       6, &ll);
+    build_encode_table(std::vector<int>(OF_DEFAULT_DIST, OF_DEFAULT_DIST + 29),
+                       5, &of);
+    build_encode_table(std::vector<int>(ML_DEFAULT_DIST, ML_DEFAULT_DIST + 53),
+                       6, &ml);
+    init_done = true;
+  }
+  return kind == 0 ? ll : (kind == 1 ? of : ml);
+}
+
+// Mode selection per code stream (mirrors format/sequences.py _plan_table).
+static bool plan_table(const std::vector<int>& codes, int kind,
+                       int max_accuracy, bool allow_custom, TablePlan* plan) {
+  const int* dist = kind == 0 ? LL_DEFAULT_DIST
+                              : (kind == 1 ? OF_DEFAULT_DIST : ML_DEFAULT_DIST);
+  int dist_n = kind == 0 ? 36 : (kind == 1 ? 29 : 53);
+  int def_al = kind == 1 ? 5 : 6;
+
+  int max_code = 0;
+  for (int c : codes) max_code = std::max(max_code, c);
+  std::vector<int64_t> hist(max_code + 1, 0);
+  for (int c : codes) ++hist[c];
+  int npresent = 0;
+  for (auto h : hist)
+    if (h > 0) ++npresent;
+  if (npresent == 1) {
+    plan->mode = 1;
+    plan->rle_symbol = max_code;
+    for (size_t s = 0; s + 1 < hist.size(); ++s)
+      if (hist[s] > 0) plan->rle_symbol = static_cast<int>(s);
+    plan->desc = {static_cast<uint8_t>(plan->rle_symbol)};
+    return true;
+  }
+  bool predef_ok = max_code < dist_n;
+  double predef_cost = 1e30;
+  if (predef_ok) {
+    predef_cost = 0;
+    for (size_t s = 0; s < hist.size(); ++s) {
+      if (hist[s] == 0) continue;
+      int p = dist[s] == -1 ? 1 : dist[s];
+      predef_cost += hist[s] * (def_al - std::log2(double(p)));
+    }
+  }
+  if (allow_custom && codes.size() >= 2) {
+    int nbits = 1;
+    while ((size_t(1) << nbits) < codes.size()) ++nbits;
+    int accuracy = std::min(max_accuracy, std::max(5, nbits));
+    std::vector<int> norm;
+    if (normalize_counts(hist, accuracy,
+                         static_cast<int64_t>(codes.size()), &norm)) {
+      std::vector<uint8_t> desc;
+      if (write_ncount(norm, accuracy, &desc)) {
+        double cost = 8.0 * desc.size();
+        for (size_t s = 0; s < hist.size(); ++s) {
+          if (hist[s] == 0) continue;
+          int p = s < norm.size() ? (norm[s] == -1 ? 1 : norm[s]) : 0;
+          if (p <= 0) {
+            cost = 1e30;
+            break;
+          }
+          cost += hist[s] * (accuracy - std::log2(double(p)));
+        }
+        if (cost < predef_cost) {
+          std::vector<int> nrm(norm);
+          if (build_encode_table(nrm, accuracy, &plan->table)) {
+            plan->mode = 2;
+            plan->desc = std::move(desc);
+            return true;
+          }
+        }
+      }
+    }
+  }
+  if (!predef_ok) return false;
+  plan->mode = 0;
+  plan->table = predef_table(kind);
+  return true;
+}
+
+// Full Sequences_Section (mirrors format/sequences.py encode_sequences).
+bool encode_sequences_section(const uint32_t* lit_lens,
+                              const uint32_t* offsets,
+                              const uint32_t* match_lens, size_t nseq,
+                              bool allow_custom,
+                              std::vector<uint8_t>* out) {
+  out->clear();
+  size_t n = nseq;
+  if (n < 128) {
+    out->push_back(static_cast<uint8_t>(n));
+  } else if (n < 0x7F00) {
+    out->push_back(static_cast<uint8_t>((n >> 8) + 128));
+    out->push_back(static_cast<uint8_t>(n & 0xFF));
+  } else {
+    out->push_back(0xFF);
+    uint32_t v = static_cast<uint32_t>(n - 0x7F00);
+    out->push_back(v & 0xFF);
+    out->push_back((v >> 8) & 0xFF);
+  }
+  if (n == 0) return true;
+
+  std::vector<int> llc(n), ofc(n), mlc(n);
+  for (size_t i = 0; i < n; ++i) {
+    llc[i] = ll_code(lit_lens[i]);
+    mlc[i] = ml_code(match_lens[i]);
+    uint32_t ofv = offsets[i] + 3;
+    ofc[i] = highbit(ofv);
+  }
+  TablePlan llp, ofp, mlp;
+  if (!plan_table(llc, 0, 9, allow_custom, &llp)) return false;
+  if (!plan_table(ofc, 1, 8, allow_custom, &ofp)) return false;
+  if (!plan_table(mlc, 2, 9, allow_custom, &mlp)) return false;
+
+  out->push_back(static_cast<uint8_t>((llp.mode << 6) | (ofp.mode << 4) |
+                                      (mlp.mode << 2)));
+  for (const TablePlan* p : {&llp, &ofp, &mlp})
+    if (p->mode != 0)
+      out->insert(out->end(), p->desc.begin(), p->desc.end());
+
+  BackwardBitWriter w;
+  auto mk_state = [](const TablePlan& p, int first_sym, FseEncoder* e) {
+    if (p.mode == 1) {
+      e->rle = true;
+    } else {
+      e->init(&p.table, first_sym);
+    }
+  };
+  FseEncoder mls, ofs, lls;
+  mk_state(mlp, mlc[n - 1], &mls);
+  mk_state(ofp, ofc[n - 1], &ofs);
+  mk_state(llp, llc[n - 1], &lls);
+  auto add_extra = [&](size_t i) {
+    w.add(lit_lens[i] - LL_BASE[llc[i]], LL_BITS[llc[i]]);
+    w.add(match_lens[i] - ML_BASE[mlc[i]], ML_BITS[mlc[i]]);
+    uint32_t ofv = offsets[i] + 3;
+    w.add(ofv - (1u << ofc[i]), ofc[i]);
+  };
+  add_extra(n - 1);
+  for (size_t ii = n - 1; ii-- > 0;) {
+    ofs.encode(ofc[ii], &w);
+    mls.encode(mlc[ii], &w);
+    lls.encode(llc[ii], &w);
+    add_extra(ii);
+  }
+  mls.flush(&w);
+  ofs.flush(&w);
+  lls.flush(&w);
+  std::vector<uint8_t> stream = w.close();
+  out->insert(out->end(), stream.begin(), stream.end());
+  return true;
+}
+
+// ------------------------------------------------------------- block body
+
+// Compressed_Block content (literals + sequences). Returns false if the
+// body cannot be built or would not fit dst_cap.
+bool encode_block_body(const uint8_t* block, size_t block_len,
+                       const uint32_t* lit_lens, const uint32_t* offsets,
+                       const uint32_t* match_lens, size_t nseq,
+                       uint32_t last_literals, bool allow_custom,
+                       bool try_huffman, std::vector<uint8_t>* out) {
+  // Gather literal bytes.
+  std::vector<uint8_t> lits;
+  size_t pos = 0;
+  uint64_t span = last_literals;
+  for (size_t i = 0; i < nseq; ++i) span += lit_lens[i] + match_lens[i];
+  if (span != block_len) return false;
+  lits.reserve(block_len / 2);
+  for (size_t i = 0; i < nseq; ++i) {
+    lits.insert(lits.end(), block + pos, block + pos + lit_lens[i]);
+    pos += lit_lens[i] + match_lens[i];
+  }
+  lits.insert(lits.end(), block + pos, block + pos + last_literals);
+
+  std::vector<uint8_t> lit_sec, seq_sec;
+  if (!encode_literals_section(lits.data(), lits.size(), try_huffman,
+                               &lit_sec))
+    return false;
+  if (!encode_sequences_section(lit_lens, offsets, match_lens, nseq,
+                                allow_custom, &seq_sec))
+    return false;
+  out->clear();
+  out->reserve(lit_sec.size() + seq_sec.size());
+  out->insert(out->end(), lit_sec.begin(), lit_sec.end());
+  out->insert(out->end(), seq_sec.begin(), seq_sec.end());
+  return true;
+}
+
+// ----------------------------------------------------- software match find
+
+// Fast greedy/lazy hash-chain matcher — the native software fallback
+// (role of libzstd's internal match finder for the reference). Mirrors
+// golden/matcher.py semantics.
+struct Sequence {
+  uint32_t lit_len, offset, match_len;
+};
+
+static const int HASH_LOG = 15;
+static const uint32_t HASH_MUL = 2654435761u;
+
+void find_sequences(const uint8_t* d, size_t n, int chain_depth, bool lazy,
+                    std::vector<Sequence>* seqs, uint32_t* last_literals) {
+  seqs->clear();
+  if (n < 5) {
+    *last_literals = static_cast<uint32_t>(n);
+    return;
+  }
+  std::vector<int32_t> head(1 << HASH_LOG, -1);
+  std::vector<int32_t> prev(n, -1);
+  auto hash_at = [&](size_t p) {
+    uint32_t w;
+    std::memcpy(&w, d + p, 4);
+    return (w * HASH_MUL) >> (32 - HASH_LOG);
+  };
+  auto insert = [&](size_t p) {
+    uint32_t h = hash_at(p);
+    prev[p] = head[h];
+    head[h] = static_cast<int32_t>(p);
+  };
+  auto best_match = [&](size_t p, uint32_t* off) -> size_t {
+    size_t limit = n - p;
+    if (limit < 3) return 0;
+    size_t best = 0;
+    uint32_t boff = 0;
+    int32_t cand = head[hash_at(p)];
+    int depth = chain_depth;
+    while (cand >= 0 && depth > 0) {
+      size_t l = 0;
+      const uint8_t* a = d + cand;
+      const uint8_t* b = d + p;
+      while (l + 8 <= limit && rd64(a + l) == rd64(b + l)) l += 8;
+      while (l < limit && a[l] == b[l]) ++l;
+      if (l > best) {
+        best = l;
+        boff = static_cast<uint32_t>(p - cand);
+      }
+      cand = prev[cand];
+      --depth;
+    }
+    if (best < 3 || (best == 3 && boff > 4096)) return 0;
+    *off = boff;
+    return best;
+  };
+
+  size_t lit_start = 0;
+  insert(0);
+  size_t inserted_up_to = 1;
+  size_t pos = 1;
+  size_t safe_end = n - 4;  // last position with a full 4-byte hash window
+  while (pos < n) {
+    if (pos > safe_end) {
+      ++pos;
+      continue;
+    }
+    uint32_t off = 0;
+    size_t len = best_match(pos, &off);
+    if (len == 0) {
+      if (pos >= inserted_up_to) {
+        insert(pos);
+        inserted_up_to = pos + 1;
+      }
+      ++pos;
+      continue;
+    }
+    if (lazy && pos + 1 <= safe_end) {
+      if (pos >= inserted_up_to) {
+        insert(pos);
+        inserted_up_to = pos + 1;
+      }
+      uint32_t noff = 0;
+      size_t nlen = best_match(pos + 1, &noff);
+      if (nlen > len + 1) {
+        if (pos + 1 >= inserted_up_to) {
+          insert(pos + 1);
+          inserted_up_to = pos + 2;
+        }
+        ++pos;
+        len = nlen;
+        off = noff;
+      }
+    }
+    seqs->push_back({static_cast<uint32_t>(pos - lit_start), off,
+                     static_cast<uint32_t>(len)});
+    size_t end = pos + len;
+    size_t step = len <= 64 ? 1 : std::max<size_t>(1, len / 32);
+    size_t p = std::max(inserted_up_to, pos);
+    size_t ins_end = std::min(end, safe_end + 1);
+    while (p < ins_end) {
+      insert(p);
+      p += step;
+    }
+    inserted_up_to = std::min(end, n);
+    pos = end;
+    lit_start = end;
+  }
+  *last_literals = static_cast<uint32_t>(n - lit_start);
+}
+
+}  // namespace qz
+
+// =============================================================== C ABI
+
+extern "C" {
+
+uint64_t qz_xxh64(const uint8_t* p, size_t n, uint64_t seed) {
+  return qz::xxh64(p, n, seed);
+}
+
+// Block body from externally produced sequences (e.g. the TPU pipeline).
+// Returns body size, or 0 if not encodable/beneficial (caller emits raw).
+size_t qz_block_body(const uint8_t* block, size_t block_len,
+                     const uint32_t* lit_lens, const uint32_t* offsets,
+                     const uint32_t* match_lens, size_t nseq,
+                     uint32_t last_literals, int allow_custom,
+                     int try_huffman, uint8_t* dst, size_t dst_cap) {
+  std::vector<uint8_t> body;
+  if (!qz::encode_block_body(block, block_len, lit_lens, offsets, match_lens,
+                             nseq, last_literals, allow_custom != 0,
+                             try_huffman != 0, &body))
+    return 0;
+  if (body.size() > dst_cap) return 0;
+  std::memcpy(dst, body.data(), body.size());
+  return body.size();
+}
+
+// Software matcher (native fallback). Writes up to cap sequences; returns
+// the count, sets *last_literals. Returns SIZE_MAX on overflow.
+size_t qz_find_sequences(const uint8_t* block, size_t n, int chain_depth,
+                         int lazy, uint32_t* lit_lens, uint32_t* offsets,
+                         uint32_t* match_lens, size_t cap,
+                         uint32_t* last_literals) {
+  std::vector<qz::Sequence> seqs;
+  qz::find_sequences(block, n, chain_depth, lazy != 0, &seqs, last_literals);
+  if (seqs.size() > cap) return static_cast<size_t>(-1);
+  for (size_t i = 0; i < seqs.size(); ++i) {
+    lit_lens[i] = seqs[i].lit_len;
+    offsets[i] = seqs[i].offset;
+    match_lens[i] = seqs[i].match_len;
+  }
+  return seqs.size();
+}
+
+}  // extern "C"
+

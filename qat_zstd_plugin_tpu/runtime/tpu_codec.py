@@ -1,0 +1,208 @@
+"""Device-accelerated codec: host orchestration around the TPU pipeline.
+
+The shape of this module mirrors the reference's offload hot path
+(qatSequenceProducer, src/qatseqprod.c:1106-1336) translated to the XLA
+execution model:
+
+* the reference's submit -> busy-poll loop (:1243-1272) becomes async XLA
+  dispatch — device futures instead of icp_sal_DcPollInstance polling;
+* the LZ4s token decode on CPU (:1013-1091) becomes the device-side
+  compaction plus this module's vectorized coalesce (capped matches chained
+  at constant offset are merged back into full-length matches);
+* any per-block failure (sequence-capacity overflow, short block) falls
+  back to the golden CPU matcher, the analog of
+  ZSTD_c_enableSeqProducerFallback (README.md:197-198);
+* entropy coding + frame assembly stay on host (the C++ native runtime is
+  the fast path; format/ golden is the fallback) until the on-TPU entropy
+  stage lands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .. import native
+from ..format import frame, tables
+from ..format.frame import BlockSequences
+from ..golden import codec as golden_codec
+from ..golden import matcher as golden_matcher
+
+BLOCK = tables.BLOCK_SIZE_MAX
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuLevelParams:
+    """Device-path level knobs (golden levels map depth; here sort-neighbor
+    depth plays the chain-depth role)."""
+    neighbors: int
+    custom_tables: bool = True
+    huffman: bool = True
+
+
+TPU_LEVEL_TABLE = {
+    1: TpuLevelParams(1),
+    2: TpuLevelParams(2),
+    3: TpuLevelParams(3),
+    4: TpuLevelParams(4),
+    5: TpuLevelParams(4),
+    6: TpuLevelParams(6),
+    7: TpuLevelParams(6),
+    8: TpuLevelParams(8),
+    9: TpuLevelParams(8),
+    10: TpuLevelParams(10),
+    11: TpuLevelParams(12),
+    12: TpuLevelParams(16),
+}
+
+
+def coalesce_sequences(lit: np.ndarray, off: np.ndarray, ml: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge chains of capped matches: zero-literal successors with the
+    same offset extend the previous match (vectorized)."""
+    n = len(lit)
+    if n == 0:
+        return lit, off, ml
+    same = (lit == 0) & (off == np.roll(off, 1))
+    same[0] = False
+    starts = np.flatnonzero(~same)
+    ml_m = np.add.reduceat(ml, starts)
+    return lit[starts], off[starts], ml_m
+
+
+def device_outputs_to_sequences(out: dict, block_index: int
+                                ) -> BlockSequences | None:
+    """Convert one block's device arrays to a coalesced BlockSequences.
+    Returns None if the device flagged overflow (caller falls back)."""
+    if bool(out["overflow"][block_index]):
+        return None
+    ns = int(out["nseq"][block_index])
+    lit = out["lit_len"][block_index, :ns].astype(np.int64)
+    off = out["offset"][block_index, :ns].astype(np.int64)
+    ml = out["match_len"][block_index, :ns].astype(np.int64)
+    lit, off, ml = coalesce_sequences(lit, off, ml)
+    return BlockSequences(lit, off, ml,
+                          int(out["last_literals"][block_index]))
+
+
+class TpuCodec:
+    """Batched block compressor over a single device (mesh path lives in
+    parallel/)."""
+
+    def __init__(self, level: int = 1, batch: int = 8,
+                 block_size: int = BLOCK, max_seq: int = 16384,
+                 parser: str | None = None, use_device: bool = True):
+        if level not in TPU_LEVEL_TABLE:
+            raise ValueError(
+                f"unsupported level {level}: supported range 1..12")
+        self.level = level
+        self.params = TPU_LEVEL_TABLE[level]
+        self.batch = batch
+        self.block_size = block_size
+        self.max_seq = max_seq
+        self.parser = parser
+        self.use_device = use_device
+        self._fn = None
+
+    def _resolve_parser(self) -> str:
+        if self.parser is not None:
+            return self.parser
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    def _pipeline(self):
+        if self._fn is None:
+            from ..ops import match_pipeline
+            parser = self._resolve_parser()
+
+            def run(blocks, lengths):
+                return match_pipeline.find_matches_staged(
+                    blocks, lengths, neighbors=self.params.neighbors,
+                    max_seq=self.max_seq, parser=parser)
+
+            self._fn = run
+        return self._fn
+
+    def produce_sequences(self, blocks_np: np.ndarray, lengths_np: np.ndarray
+                          ) -> list[BlockSequences | None]:
+        """Run the device pipeline on a (b, N) batch; b <= self.batch.
+        Entries are None where the caller must fall back."""
+        import jax.numpy as jnp
+        b = blocks_np.shape[0]
+        if b < self.batch:  # pad batch to the jit shape
+            pad = np.zeros((self.batch - b,) + blocks_np.shape[1:], np.uint8)
+            blocks_np = np.concatenate([blocks_np, pad])
+            lengths_np = np.concatenate(
+                [lengths_np, np.zeros(self.batch - b, np.int32)])
+        out = self._pipeline()(jnp.asarray(blocks_np),
+                               jnp.asarray(lengths_np))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        return [device_outputs_to_sequences(out, i) for i in range(b)]
+
+    def compress(self, data: bytes | np.ndarray, checksum: bool = True,
+                 validate: bool = False) -> bytes:
+        buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
+            data, np.ndarray) else np.ascontiguousarray(data, np.uint8)
+        n = len(buf)
+        bs = self.block_size
+        nblocks = max(1, -(-n // bs))
+        bodies: list[bytes | None] = [None] * nblocks
+
+        # Full blocks ride the device in batches; the short tail block (and
+        # overflow blocks) take the CPU fallback, mirroring per-block
+        # producer fallback semantics.
+        full_ids = [i for i in range(nblocks)
+                    if min(n - i * bs, bs) == bs and n >= bs] \
+            if self.use_device else []
+        seq_by_block: dict[int, BlockSequences | None] = {}
+        for s in range(0, len(full_ids), self.batch):
+            ids = full_ids[s:s + self.batch]
+            blocks_np = np.stack([buf[i * bs:(i + 1) * bs] for i in ids])
+            lengths_np = np.full(len(ids), bs, np.int32)
+            seqs = self.produce_sequences(blocks_np, lengths_np)
+            for i, sq in zip(ids, seqs):
+                seq_by_block[i] = sq
+
+        gp = golden_codec.level_params(self.level)
+        use_native = native.available()
+
+        def finish_block(i: int) -> bytes | None:
+            """Fallback matching (if needed) + entropy for one block.
+            Runs in a worker thread; the native C calls release the GIL."""
+            blk = buf[i * bs:min((i + 1) * bs, n)]
+            if len(blk) < 64:
+                return None
+            seqs = seq_by_block.get(i)
+            if seqs is None:
+                if use_native:
+                    try:
+                        ll, of, ml, lastlit = native.find_sequences(
+                            blk, gp.chain_depth, gp.lazy)
+                        seqs = BlockSequences(ll, of, ml, lastlit)
+                    except OverflowError:
+                        return None
+                else:
+                    seqs = golden_codec.compress_block_sequences(
+                        blk, self.level)
+            if validate:
+                golden_matcher.validate_sequences(blk, seqs)
+            custom = self.params.custom_tables and gp.custom_tables
+            if use_native:
+                return native.block_body(
+                    blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
+                    seqs.last_literals, custom, self.params.huffman)
+            try:
+                return frame.encode_block_body(
+                    blk, seqs, allow_custom_tables=custom,
+                    try_huffman=self.params.huffman)
+            except ValueError:
+                return None
+
+        if nblocks > 1:
+            with ThreadPoolExecutor() as pool:
+                bodies = list(pool.map(finish_block, range(nblocks)))
+        else:
+            bodies = [finish_block(0)]
+        return frame.assemble_frame(buf, bodies, bs, checksum)

@@ -1,0 +1,110 @@
+"""Native C++ runtime tests: differential against the Python golden model.
+
+The native encoder is required to be *byte-identical* to format/ — same
+normalization, same heap tie-breaks, same mode selection — so either
+backend can finish any block interchangeably."""
+
+import numpy as np
+import pytest
+
+from qat_zstd_plugin_tpu import native, oracle
+from qat_zstd_plugin_tpu.format import frame
+from qat_zstd_plugin_tpu.format.frame import BlockSequences
+from qat_zstd_plugin_tpu.format.xxhash import xxh64 as py_xxh64
+from qat_zstd_plugin_tpu.golden import matcher
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain missing")
+
+
+def test_xxh64_differential():
+    rng = np.random.default_rng(0)
+    for n in [0, 1, 3, 4, 7, 8, 31, 32, 33, 1000, 100_000]:
+        data = rng.integers(0, 256, n, np.uint8).tobytes()
+        assert native.xxh64(data) == py_xxh64(data), n
+    arr = rng.integers(0, 256, 5000, np.uint8).astype(np.uint8)
+    assert native.xxh64(arr) == py_xxh64(arr.tobytes())
+
+
+def _corpus(n, seed):
+    rng = np.random.default_rng(seed)
+    parts = []
+    words = [b"the ", b"data ", b"zstd ", b"entropy block ", b"offset "]
+    while sum(map(len, parts)) < n:
+        k = int(rng.integers(0, 4))
+        if k == 0:
+            parts.append(b"".join(words[i] for i in
+                                  rng.integers(0, 5, 50)))
+        elif k == 1:
+            parts.append(bytes([int(rng.integers(0, 256))]) * 200)
+        elif k == 2:
+            parts.append(rng.integers(0, 8, 500, np.uint8).tobytes())
+        else:
+            parts.append(rng.integers(0, 256, 300, np.uint8).tobytes())
+    return np.frombuffer(b"".join(parts)[:n], np.uint8)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_block_body_byte_identical_to_golden(seed):
+    data = _corpus(30_000, seed)
+    seqs = matcher.find_sequences(data, chain_depth=8, lazy=(seed % 2 == 0))
+    py_body = frame.encode_block_body(data, seqs)
+    nat_body = native.block_body(data, seqs.lit_lengths, seqs.offsets,
+                                 seqs.match_lengths, seqs.last_literals)
+    assert nat_body == py_body
+
+
+def test_block_body_no_custom_no_huffman():
+    data = _corpus(20_000, 9)
+    seqs = matcher.find_sequences(data, chain_depth=4)
+    for custom in (False, True):
+        for huff in (False, True):
+            py_body = frame.encode_block_body(
+                data, seqs, allow_custom_tables=custom, try_huffman=huff)
+            nat_body = native.block_body(
+                data, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
+                seqs.last_literals, custom, huff)
+            assert nat_body == py_body, (custom, huff)
+
+
+@pytest.mark.parametrize("depth,lazy", [(2, False), (8, False), (16, True)])
+def test_native_matcher_valid_and_oracle(depth, lazy):
+    data = _corpus(50_000, depth)
+    ll, of, ml, lastlit = native.find_sequences(data, depth, lazy)
+    seqs = BlockSequences(ll, of, ml, lastlit)
+    matcher.validate_sequences(data, seqs)
+    body = native.block_body(data, ll, of, ml, lastlit)
+    f = frame.assemble_frame(data.tobytes(), [body], block_size=131072)
+    assert oracle.roundtrip_ok(f, data.tobytes())
+
+
+def test_native_matcher_identical_to_golden():
+    # Same algorithm, same parameters -> same sequences.
+    data = _corpus(25_000, 5)
+    ll, of, ml, lastlit = native.find_sequences(data, 16, True)
+    g = matcher.find_sequences(data, chain_depth=16, lazy=True)
+    assert lastlit == g.last_literals
+    assert ll.tolist() == g.lit_lengths.tolist()
+    assert of.tolist() == g.offsets.tolist()
+    assert ml.tolist() == g.match_lengths.tolist()
+
+
+def test_native_matcher_degenerate():
+    for raw in [b"", b"a", b"abcd", b"\x00" * 100, b"ab" * 3]:
+        data = np.frombuffer(raw, np.uint8)
+        ll, of, ml, lastlit = native.find_sequences(data, 8, False)
+        seqs = BlockSequences(ll, of, ml, lastlit)
+        matcher.validate_sequences(data, seqs)
+
+
+def test_threaded_encode_deterministic():
+    from concurrent.futures import ThreadPoolExecutor
+    data = _corpus(131072, 7)
+
+    def body(_):
+        ll, of, ml, lastlit = native.find_sequences(data, 4, False)
+        return native.block_body(data, ll, of, ml, lastlit)
+
+    with ThreadPoolExecutor(8) as p:
+        outs = list(p.map(body, range(16)))
+    assert all(o == outs[0] for o in outs)
