@@ -46,6 +46,20 @@ def start_device() -> Status:
             return Status.OK
         try:
             import jax
+            try:
+                # Persistent compile cache: compiled executables survive
+                # process restarts (the analog of the reference's session
+                # reuse across blocks, src/qatseqprod.c:1211-1220, at
+                # program scope).
+                import os
+                cache = os.environ.get(
+                    "QZ_JAX_CACHE",
+                    os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))),
+                        ".jax_cache"))
+                jax.config.update("jax_compilation_cache_dir", cache)
+            except Exception:
+                pass
             devs = jax.devices()
         except Exception:
             _state.status = Status.FAIL

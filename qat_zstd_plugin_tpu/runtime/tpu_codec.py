@@ -125,10 +125,13 @@ class TpuCodec:
             self._fn = run
         return self._fn
 
-    def produce_sequences(self, blocks_np: np.ndarray, lengths_np: np.ndarray
-                          ) -> list[BlockSequences | None]:
-        """Run the device pipeline on a (b, N) batch; b <= self.batch.
-        Entries are None where the caller must fall back."""
+    def submit_batch(self, blocks_np: np.ndarray, lengths_np: np.ndarray):
+        """Asynchronously dispatch one device batch (b <= self.batch).
+
+        Returns an opaque handle of device arrays — the XLA analog of the
+        reference's cpaDcCompressData2 submit (src/qatseqprod.c:1245); no
+        polling loop is needed because JAX dispatch is async and
+        np.asarray() at collect time plays the completion-callback role."""
         import jax.numpy as jnp
         b = blocks_np.shape[0]
         if b < self.batch:  # pad batch to the jit shape
@@ -138,8 +141,18 @@ class TpuCodec:
                 [lengths_np, np.zeros(self.batch - b, np.int32)])
         out = self._pipeline()(jnp.asarray(blocks_np),
                                jnp.asarray(lengths_np))
+        return b, out
+
+    def collect_batch(self, handle) -> list[BlockSequences | None]:
+        """Block on a submitted batch and convert to per-block sequences.
+        Entries are None where the caller must fall back."""
+        b, out = handle
         out = {k: np.asarray(v) for k, v in out.items()}
         return [device_outputs_to_sequences(out, i) for i in range(b)]
+
+    def produce_sequences(self, blocks_np: np.ndarray, lengths_np: np.ndarray
+                          ) -> list[BlockSequences | None]:
+        return self.collect_batch(self.submit_batch(blocks_np, lengths_np))
 
     def compress(self, data: bytes | np.ndarray, checksum: bool = True,
                  validate: bool = False) -> bytes:
@@ -152,29 +165,24 @@ class TpuCodec:
 
         # Full blocks ride the device in batches; the short tail block (and
         # overflow blocks) take the CPU fallback, mirroring per-block
-        # producer fallback semantics.
-        full_ids = [i for i in range(nblocks)
-                    if min(n - i * bs, bs) == bs and n >= bs] \
-            if self.use_device else []
-        seq_by_block: dict[int, BlockSequences | None] = {}
-        for s in range(0, len(full_ids), self.batch):
-            ids = full_ids[s:s + self.batch]
-            blocks_np = np.stack([buf[i * bs:(i + 1) * bs] for i in ids])
-            lengths_np = np.full(len(ids), bs, np.int32)
-            seqs = self.produce_sequences(blocks_np, lengths_np)
-            for i, sq in zip(ids, seqs):
-                seq_by_block[i] = sq
-
+        # producer fallback semantics. Dispatch is pipelined: up to
+        # QUEUE_DEPTH batches in flight while earlier results are collected
+        # (the double-buffered feed that replaces the reference's
+        # synchronous submit -> busy-poll per block, src/qatseqprod.c:1243).
+        QUEUE_DEPTH = 3
+        full_ids = set(i for i in range(nblocks)
+                       if min(n - i * bs, bs) == bs and n >= bs) \
+            if self.use_device else set()
         gp = golden_codec.level_params(self.level)
         use_native = native.available()
 
-        def finish_block(i: int) -> bytes | None:
+        def finish_block(i: int, seqs: BlockSequences | None
+                         ) -> bytes | None:
             """Fallback matching (if needed) + entropy for one block.
             Runs in a worker thread; the native C calls release the GIL."""
             blk = buf[i * bs:min((i + 1) * bs, n)]
             if len(blk) < 64:
                 return None
-            seqs = seq_by_block.get(i)
             if seqs is None:
                 if use_native:
                     try:
@@ -200,9 +208,29 @@ class TpuCodec:
             except ValueError:
                 return None
 
-        if nblocks > 1:
-            with ThreadPoolExecutor() as pool:
-                bodies = list(pool.map(finish_block, range(nblocks)))
-        else:
-            bodies = [finish_block(0)]
+        futures: dict[int, object] = {}
+        inflight: list[tuple[list[int], object]] = []
+        with ThreadPoolExecutor() as pool:
+
+            def collect_one() -> None:
+                ids, handle = inflight.pop(0)
+                for i, sq in zip(ids, self.collect_batch(handle)):
+                    futures[i] = pool.submit(finish_block, i, sq)
+
+            sorted_full = sorted(full_ids)
+            for s in range(0, len(sorted_full), self.batch):
+                ids = sorted_full[s:s + self.batch]
+                blocks_np = np.stack([buf[i * bs:(i + 1) * bs] for i in ids])
+                lengths_np = np.full(len(ids), bs, np.int32)
+                inflight.append(
+                    (ids, self.submit_batch(blocks_np, lengths_np)))
+                if len(inflight) >= QUEUE_DEPTH:
+                    collect_one()
+            for i in range(nblocks):  # CPU-only blocks (tail / no device)
+                if i not in full_ids:
+                    futures[i] = pool.submit(finish_block, i, None)
+            while inflight:
+                collect_one()
+            bodies = [futures[i].result() if i in futures else None
+                      for i in range(nblocks)]
         return frame.assemble_frame(buf, bodies, bs, checksum)
