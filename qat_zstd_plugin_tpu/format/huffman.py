@@ -132,8 +132,10 @@ def _fse_compress_weights(ws: list[int]) -> bytes | None:
     hist = np.bincount(np.asarray(ws, dtype=np.int64), minlength=13)
     if int((hist > 0).sum()) < 2:
         return None  # single-valued: FSE can't help (RLE not allowed here)
+    # Format floor: FSE accuracy logs are >= 5 (RFC 8878 4-bit AL field
+    # counts from 5), even for tiny weight alphabets.
     max_al = min(MAX_FSE_WEIGHT_ACCURACY,
-                 max(1, (len(ws) - 1).bit_length()))
+                 max(5, (len(ws) - 1).bit_length()))
     try:
         norm = fse.normalize_counts(hist, max_al, total=len(ws))
     except ValueError:

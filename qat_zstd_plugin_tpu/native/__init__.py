@@ -58,8 +58,36 @@ def _load():
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_size_t, ctypes.c_void_p]
+    lib.qz_xxh64_state_size.restype = ctypes.c_size_t
+    lib.qz_xxh64_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.qz_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_size_t]
+    lib.qz_xxh64_digest.restype = ctypes.c_uint64
+    lib.qz_xxh64_digest.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+class Xxh64Stream:
+    """Incremental XXH64 over the native runtime."""
+
+    def __init__(self, seed: int = 0):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self._state = ctypes.create_string_buffer(
+            lib.qz_xxh64_state_size())
+        lib.qz_xxh64_init(self._state, seed)
+
+    def update(self, data) -> None:
+        if isinstance(data, np.ndarray):
+            arr = np.ascontiguousarray(data, np.uint8)
+            self._lib.qz_xxh64_update(self._state, arr.ctypes.data, arr.size)
+        else:
+            self._lib.qz_xxh64_update(self._state, data, len(data))
+
+    def digest(self) -> int:
+        return int(self._lib.qz_xxh64_digest(self._state))
 
 
 def available() -> bool:

@@ -253,6 +253,7 @@ struct FseEncoder {
 // NCount serialization (forward bitstream). Returns false on bad counts.
 bool write_ncount(const std::vector<int>& norm, int al,
                   std::vector<uint8_t>* out) {
+  if (al < 5 || al > 12) return false;
   int size = 1 << al;
   ForwardBitWriter w;
   w.add(al - 5, 4);
@@ -503,7 +504,9 @@ static bool fse_compress_weights(const std::vector<int>& ws,
   if (distinct < 2) return false;
   int nbits = 1;
   while ((1u << nbits) < ws.size()) ++nbits;
-  int max_al = std::min(6, std::max(1, nbits));
+  // Format floor: FSE accuracy logs are >= 5 (the 4-bit AL field counts
+  // from 5), even for tiny weight alphabets.
+  int max_al = std::min(6, std::max(5, nbits));
   std::vector<int> norm;
   if (!normalize_counts(hist, max_al, static_cast<int64_t>(ws.size()),
                         &norm))
@@ -1064,6 +1067,91 @@ extern "C" {
 uint64_t qz_xxh64(const uint8_t* p, size_t n, uint64_t seed) {
   return qz::xxh64(p, n, seed);
 }
+
+// Incremental XXH64 (streaming frames accumulate their content checksum
+// block by block, mirroring stateless per-block processing with only a
+// cursor carried — the checkpoint/resume posture of the stream layer).
+struct QzXxhState {
+  uint64_t acc[4];
+  uint8_t buf[32];
+  size_t buf_len;
+  uint64_t total;
+  uint64_t seed;
+};
+
+void qz_xxh64_init(QzXxhState* s, uint64_t seed) {
+  s->acc[0] = seed + qz::P1 + qz::P2;
+  s->acc[1] = seed + qz::P2;
+  s->acc[2] = seed;
+  s->acc[3] = seed - qz::P1;
+  s->buf_len = 0;
+  s->total = 0;
+  s->seed = seed;
+}
+
+void qz_xxh64_update(QzXxhState* s, const uint8_t* p, size_t n) {
+  s->total += n;
+  if (s->buf_len) {
+    size_t need = 32 - s->buf_len;
+    size_t take = n < need ? n : need;
+    std::memcpy(s->buf + s->buf_len, p, take);
+    s->buf_len += take;
+    p += take;
+    n -= take;
+    if (s->buf_len == 32) {
+      for (int i = 0; i < 4; ++i)
+        s->acc[i] = qz::xxh_round(s->acc[i], qz::rd64(s->buf + 8 * i));
+      s->buf_len = 0;
+    }
+  }
+  while (n >= 32) {
+    for (int i = 0; i < 4; ++i)
+      s->acc[i] = qz::xxh_round(s->acc[i], qz::rd64(p + 8 * i));
+    p += 32;
+    n -= 32;
+  }
+  if (n) {
+    std::memcpy(s->buf, p, n);
+    s->buf_len = n;
+  }
+}
+
+uint64_t qz_xxh64_digest(const QzXxhState* s) {
+  uint64_t h;
+  if (s->total >= 32) {
+    h = qz::rotl64(s->acc[0], 1) + qz::rotl64(s->acc[1], 7) +
+        qz::rotl64(s->acc[2], 12) + qz::rotl64(s->acc[3], 18);
+    for (int i = 0; i < 4; ++i) h = qz::xxh_merge(h, s->acc[i]);
+  } else {
+    h = s->seed + qz::P5;
+  }
+  h += s->total;
+  const uint8_t* p = s->buf;
+  const uint8_t* end = s->buf + s->buf_len;
+  while (p + 8 <= end) {
+    h ^= qz::xxh_round(0, qz::rd64(p));
+    h = qz::rotl64(h, 27) * qz::P1 + qz::P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= static_cast<uint64_t>(qz::rd32(p)) * qz::P1;
+    h = qz::rotl64(h, 23) * qz::P2 + qz::P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (*p) * qz::P5;
+    h = qz::rotl64(h, 11) * qz::P1;
+    ++p;
+  }
+  h ^= h >> 33;
+  h *= qz::P2;
+  h ^= h >> 29;
+  h *= qz::P3;
+  h ^= h >> 32;
+  return h;
+}
+
+size_t qz_xxh64_state_size(void) { return sizeof(QzXxhState); }
 
 // Block body from externally produced sequences (e.g. the TPU pipeline).
 // Returns body size, or 0 if not encodable/beneficial (caller emits raw).

@@ -137,6 +137,9 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
         jnp.where(chg, idx, BIG)[:, ::-1], axis=1)[:, ::-1]
     len1 = run_end - idx + 1
     len1 = jnp.minimum(len1, blen - idx)
+    # Cap at 65535 so packed results fit u16; longer runs continue as
+    # chained same-offset matches that the host coalesce re-merges.
+    len1 = jnp.minimum(len1, 65535)
     prev_eq = jnp.concatenate(
         [jnp.zeros((B, 1), bool), xi[:, 1:] == xi[:, :-1]], axis=1)
     valid1 = prev_eq & (len1 >= MIN_MATCH)
@@ -250,3 +253,56 @@ def find_matches_staged(blocks, lengths, neighbors: int = 4,
     mlen, moff = _candidates_jit(blocks, lengths, neighbors)
     chosen = _parse_jit(mlen, parser)
     return _compact_jit(chosen, mlen, moff, lengths, max_seq)
+
+
+def pack_outputs(out: dict, max_seq: int) -> jnp.ndarray:
+    """Pack the compaction outputs into ONE (B, max_seq+1, 2) int32 array.
+
+    The host<->device link pays high per-transfer latency (the PCIe-ring
+    analog of the reference's one CpaBufferList per request), so all result
+    fields ride a single fetch:
+      row 0:   [nseq, last_literals << 1 | overflow]
+      row s+1: [lit_len << 16 | match_len, offset]
+    Match lengths are capped at 65535 on device (longer matches continue as
+    chained same-offset sequences and re-merge in the host coalesce);
+    blocks with a literal run > 65535 raise the overflow flag and take the
+    CPU fallback path.
+    """
+    lit = out["lit_len"]
+    ml = jnp.minimum(out["match_len"], 65535)
+    lit_over = (lit > 65535).any(axis=1)
+    overflow = out["overflow"] | lit_over
+    word0 = (jnp.minimum(lit, 65535) << 16) | ml
+    word1 = out["offset"]
+    body = jnp.stack([word0, word1], axis=-1)          # (B, max_seq, 2)
+    hdr0 = out["nseq"]
+    hdr1 = (out["last_literals"] << 1) | overflow.astype(jnp.int32)
+    hdr = jnp.stack([hdr0, hdr1], axis=-1)[:, None, :]  # (B, 1, 2)
+    return jnp.concatenate([hdr, body], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seq",))
+def _pack_jit(out, max_seq):
+    return pack_outputs(out, max_seq)
+
+
+def find_matches_packed(blocks, lengths, neighbors: int = 4,
+                        max_seq: int = 16384, parser: str = "scan"):
+    """Staged pipeline returning the single packed result array."""
+    out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser)
+    return _pack_jit(out, max_seq)
+
+
+def unpack_outputs(packed: np.ndarray) -> dict:
+    """Host-side unpack of pack_outputs (vectorized numpy)."""
+    packed = np.asarray(packed)
+    hdr = packed[:, 0, :]
+    word0 = packed[:, 1:, 0].astype(np.int64) & 0xFFFFFFFF
+    return {
+        "nseq": hdr[:, 0],
+        "last_literals": (hdr[:, 1] >> 1).astype(np.int64),
+        "overflow": (hdr[:, 1] & 1).astype(bool),
+        "lit_len": (word0 >> 16).astype(np.int64),
+        "match_len": (word0 & 0xFFFF).astype(np.int64),
+        "offset": packed[:, 1:, 1].astype(np.int64),
+    }

@@ -118,7 +118,7 @@ class TpuCodec:
             parser = self._resolve_parser()
 
             def run(blocks, lengths):
-                return match_pipeline.find_matches_staged(
+                return match_pipeline.find_matches_packed(
                     blocks, lengths, neighbors=self.params.neighbors,
                     max_seq=self.max_seq, parser=parser)
 
@@ -139,15 +139,16 @@ class TpuCodec:
             blocks_np = np.concatenate([blocks_np, pad])
             lengths_np = np.concatenate(
                 [lengths_np, np.zeros(self.batch - b, np.int32)])
-        out = self._pipeline()(jnp.asarray(blocks_np),
-                               jnp.asarray(lengths_np))
-        return b, out
+        packed = self._pipeline()(jnp.asarray(blocks_np),
+                                  jnp.asarray(lengths_np))
+        return b, packed
 
     def collect_batch(self, handle) -> list[BlockSequences | None]:
         """Block on a submitted batch and convert to per-block sequences.
         Entries are None where the caller must fall back."""
-        b, out = handle
-        out = {k: np.asarray(v) for k, v in out.items()}
+        from ..ops import match_pipeline
+        b, packed = handle
+        out = match_pipeline.unpack_outputs(np.asarray(packed))
         return [device_outputs_to_sequences(out, i) for i in range(b)]
 
     def produce_sequences(self, blocks_np: np.ndarray, lengths_np: np.ndarray
@@ -158,10 +159,16 @@ class TpuCodec:
                  validate: bool = False) -> bytes:
         buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
             data, np.ndarray) else np.ascontiguousarray(data, np.uint8)
+        bodies = self.compress_bodies(buf, validate=validate)
+        return frame.assemble_frame(buf, bodies, self.block_size, checksum)
+
+    def compress_bodies(self, buf: np.ndarray, validate: bool = False
+                        ) -> list[bytes | None]:
+        """Produce per-block Compressed_Block bodies (None => raw block)."""
+        buf = np.ascontiguousarray(buf, np.uint8)
         n = len(buf)
         bs = self.block_size
         nblocks = max(1, -(-n // bs))
-        bodies: list[bytes | None] = [None] * nblocks
 
         # Full blocks ride the device in batches; the short tail block (and
         # overflow blocks) take the CPU fallback, mirroring per-block
@@ -233,4 +240,4 @@ class TpuCodec:
                 collect_one()
             bodies = [futures[i].result() if i in futures else None
                       for i in range(nblocks)]
-        return frame.assemble_frame(buf, bodies, bs, checksum)
+        return bodies

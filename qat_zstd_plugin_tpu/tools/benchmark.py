@@ -1,0 +1,181 @@
+"""Benchmark tool — parity with the reference's test/benchmark.c.
+
+Reproduces its methodology (test/benchmark.c:74-554): N worker threads,
+per-thread codec contexts, chunked compression loops with phase barriers, a
+lock-free 200-bucket geometric latency histogram (x1.05 growth,
+benchmark.c:100-169), P25/P50/P75/P99/avg percentiles, decompress-verify
+with PASS/FAIL per thread, and a software-mode A/B baseline (-m0,
+benchmark.c:79).
+
+Flags mirror the reference (benchmark.c:171-184): -t threads, -l level,
+-c chunk KB, -m mode, -E repcode policy, -L loops. Mode 0 = software
+(native CPU path), 1 = device offload, 2 = stock libzstd (extra A/B).
+-E is accepted for CLI parity but a no-op: this codec always emits
+explicit offsets (no repcode search).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import oracle
+from ..runtime.tpu_codec import TpuCodec
+
+NB_BUCKETS = 200
+BUCKET_GROWTH = 1.05
+FIRST_BUCKET_US = 1.0
+
+
+class Histogram:
+    """Geometric latency histogram (benchmark.c:100-169 semantics)."""
+
+    def __init__(self) -> None:
+        self.buckets = np.zeros(NB_BUCKETS, dtype=np.int64)
+        self.lock = threading.Lock()
+        edges = [FIRST_BUCKET_US]
+        for _ in range(NB_BUCKETS - 1):
+            edges.append(edges[-1] * BUCKET_GROWTH)
+        self.edges = np.asarray(edges)
+        self.total_us = 0.0
+        self.count = 0
+
+    def add(self, us: float) -> None:
+        idx = int(np.searchsorted(self.edges, us))
+        idx = min(idx, NB_BUCKETS - 1)
+        with self.lock:
+            self.buckets[idx] += 1
+            self.total_us += us
+            self.count += 1
+
+    def percentile(self, p: float) -> float:
+        target = self.count * p / 100.0
+        acc = 0
+        for i in range(NB_BUCKETS):
+            acc += int(self.buckets[i])
+            if acc >= target and target > 0:
+                return float(self.edges[i])
+        return float(self.edges[-1])
+
+    def summary(self) -> dict:
+        if not self.count:
+            return {}
+        return {"P25": self.percentile(25), "P50": self.percentile(50),
+                "P75": self.percentile(75), "P99": self.percentile(99),
+                "avg": self.total_us / self.count}
+
+
+@dataclass
+class ThreadResult:
+    comp_mbs: float = 0.0
+    decomp_mbs: float = 0.0
+    ratio: float = 0.0
+    verify_ok: bool = False
+    errors: list = field(default_factory=list)
+
+
+def _worker(tid: int, args, data: bytes, hist: Histogram,
+            barrier1: threading.Barrier, barrier2: threading.Barrier,
+            results: list) -> None:
+    res = ThreadResult()
+    try:
+        chunk = args.chunk_kb * 1024
+        chunks = [data[i:i + chunk] for i in range(0, len(data), chunk)]
+        if args.mode == 1:
+            codec = TpuCodec(level=args.level, use_device=True,
+                             batch=args.batch)
+            compress = lambda c: codec.compress(c)  # noqa: E731
+        elif args.mode == 0:
+            codec = TpuCodec(level=args.level, use_device=False)
+            compress = lambda c: codec.compress(c)  # noqa: E731
+        else:
+            compress = lambda c: oracle.compress(c, args.level)  # noqa: E731
+        compress(chunks[0])  # warm-up / compile outside the timed phase
+
+        barrier1.wait()
+        frames = []
+        t0 = time.perf_counter()
+        for _ in range(args.loops):
+            frames = []
+            for c in chunks:
+                tc = time.perf_counter()
+                frames.append(compress(c))
+                hist.add((time.perf_counter() - tc) * 1e6)
+        dt = time.perf_counter() - t0
+        comp_bytes = sum(map(len, frames))
+        res.comp_mbs = len(data) * args.loops / dt / 1e6
+        res.ratio = comp_bytes / len(data)
+
+        # Decompress-verify (always software zstd, like the reference).
+        ok = all(oracle.decompress(f, len(c)) == c
+                 for f, c in zip(frames, chunks))
+        res.verify_ok = ok
+        barrier2.wait()
+        t0 = time.perf_counter()
+        for _ in range(args.loops):
+            for f, c in zip(frames, chunks):
+                oracle.decompress(f, len(c))
+        res.decomp_mbs = len(data) * args.loops / (
+            time.perf_counter() - t0) / 1e6
+    except Exception as e:  # pragma: no cover
+        res.errors.append(repr(e))
+    results[tid] = res
+
+
+def run(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="qat_zstd_plugin_tpu benchmark (reference "
+                    "test/benchmark.c parity)")
+    ap.add_argument("file", help="input file to compress")
+    ap.add_argument("-t", "--threads", type=int, default=1)
+    ap.add_argument("-l", "--level", type=int, default=1)
+    ap.add_argument("-c", "--chunk-kb", type=int, default=128,
+                    help="chunk size in KiB (reference -c)")
+    ap.add_argument("-m", "--mode", type=int, default=1,
+                    help="0=software(native) 1=device 2=stock-libzstd")
+    ap.add_argument("-E", "--repcodes", type=int, default=0,
+                    help="accepted for parity; explicit offsets always")
+    ap.add_argument("-L", "--loops", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    data = open(args.file, "rb").read()
+    hist = Histogram()
+    barrier1 = threading.Barrier(args.threads)
+    barrier2 = threading.Barrier(args.threads)
+    results: list = [None] * args.threads
+    threads = [threading.Thread(
+        target=_worker, args=(i, args, data, hist, barrier1, barrier2,
+                              results)) for i in range(args.threads)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    ok = True
+    for i, r in enumerate(results):
+        status = "PASS" if (r and r.verify_ok and not r.errors) else "FAIL"
+        ok &= status == "PASS"
+        extra = f" errors={r.errors}" if r and r.errors else ""
+        print(f"thread {i}: compress {r.comp_mbs:8.1f} MB/s  "
+              f"decompress {r.decomp_mbs:8.1f} MB/s  "
+              f"ratio {r.ratio*100:5.1f}%  {status}{extra}")
+    agg = sum(r.comp_mbs for r in results if r)
+    print(f"aggregate compress: {agg:.1f} MB/s over {args.threads} threads "
+          f"({wall:.1f}s wall)")
+    s = hist.summary()
+    if s:
+        print("chunk latency us: "
+              + "  ".join(f"{k}={v:.0f}" for k, v in s.items()))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(run())
