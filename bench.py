@@ -31,9 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_MBS = 2000.0  # north-star target, BASELINE.md
-CORPUS_MB = 16
+CORPUS_MB = 64
 LEVEL = 1
-BATCH = 64
+BATCH = 256
 BLOCK = 131072
 
 
@@ -106,7 +106,7 @@ def main() -> None:
 
     # --- end-to-end frames
     codec = TpuCodec(level=LEVEL, batch=B, block_size=BLOCK, max_seq=16384)
-    codec.compress(data[: 2 * B * BLOCK])  # warm both batch shapes
+    codec.compress(data[: B * BLOCK])  # warm the full-batch shape
     t0 = time.perf_counter()
     frame = codec.compress(data)
     e2e_mbs = len(data) / (time.perf_counter() - t0) / 1e6

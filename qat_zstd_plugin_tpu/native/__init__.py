@@ -58,6 +58,10 @@ def _load():
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_size_t, ctypes.c_void_p]
+    lib.qz_extend_sequences.restype = ctypes.c_size_t
+    lib.qz_extend_sequences.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
     lib.qz_xxh64_state_size.restype = ctypes.c_size_t
     lib.qz_xxh64_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.qz_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -124,6 +128,25 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
     if n == 0:
         return None
     return dst[:n].tobytes()
+
+
+def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
+                     ml: np.ndarray, last_literals: int):
+    """Re-extend capped matches with real byte compares (see
+    qz_extend_sequences). Returns (lit, off, ml, last_literals)."""
+    lib = _load()
+    assert lib is not None
+    block = np.ascontiguousarray(block, np.uint8)
+    ll = np.ascontiguousarray(lit, np.uint32)
+    of = np.ascontiguousarray(off, np.uint32)
+    mm = np.ascontiguousarray(ml, np.uint32)
+    lastlit = ctypes.c_uint32(last_literals)
+    # The C pass only shrinks/merges; arrays are modified in place.
+    new_n = lib.qz_extend_sequences(
+        block.ctypes.data, len(block), ll.ctypes.data, of.ctypes.data,
+        mm.ctypes.data, len(ll), ctypes.byref(lastlit))
+    return (ll[:new_n].astype(np.int64), of[:new_n].astype(np.int64),
+            mm[:new_n].astype(np.int64), int(lastlit.value))
 
 
 def find_sequences(block: np.ndarray, chain_depth: int, lazy: bool,

@@ -1170,6 +1170,64 @@ size_t qz_block_body(const uint8_t* block, size_t block_len,
   return body.size();
 }
 
+// Extend device-produced matches with real byte comparisons.
+//
+// The TPU pipeline caps sort-derived match lengths at 16 bytes (carried
+// content words); this pass re-extends each match to its true length and
+// re-parses the tail: consumed sequences are trimmed or dropped (front-
+// trimming a match is always valid — the source only moves forward).
+// Equivalent in spirit to the reference's division of labor where cheap
+// post-processing on the host finishes what the accelerator started
+// (QZSTD_decLz4s's token fix-ups, src/qatseqprod.c:1013-1091).
+//
+// Arrays are modified in place; returns the new sequence count.
+size_t qz_extend_sequences(const uint8_t* block, size_t n,
+                           uint32_t* lit_lens, uint32_t* offsets,
+                           uint32_t* match_lens, size_t nseq,
+                           uint32_t* last_literals) {
+  size_t out = 0;
+  size_t cursor = 0;        // bytes already emitted (post-extension)
+  size_t orig_pos = 0;      // original span walker
+  uint64_t pending_lit = 0; // literals freed by dropped/trimmed sequences
+  for (size_t i = 0; i < nseq; ++i) {
+    size_t lit_start = orig_pos;
+    size_t match_start = lit_start + lit_lens[i];
+    size_t match_end = match_start + match_lens[i];
+    orig_pos = match_end;
+    if (cursor >= match_end) continue;  // fully consumed by an extension
+    uint32_t off = offsets[i];
+    size_t new_lit;
+    size_t new_start;
+    if (cursor <= match_start) {
+      new_lit = match_start - cursor;
+      new_start = match_start;
+    } else {
+      new_lit = 0;
+      new_start = cursor;  // front-trimmed match
+    }
+    size_t new_ml = match_end - new_start;
+    if (new_ml < 3) {  // too short after trimming: degrade to literals
+      pending_lit += new_lit + new_ml;
+      cursor = match_end;
+      continue;
+    }
+    // Greedy extension past the original end.
+    size_t e = match_end;
+    while (e + 8 <= n && qz::rd64(block + e) == qz::rd64(block + e - off)) e += 8;
+    while (e < n && block[e] == block[e - off]) ++e;
+    new_ml += e - match_end;
+    lit_lens[out] = static_cast<uint32_t>(new_lit + pending_lit);
+    offsets[out] = off;
+    match_lens[out] = static_cast<uint32_t>(new_ml);
+    pending_lit = 0;
+    ++out;
+    cursor = new_start + new_ml;
+  }
+  // Tail bytes (including literals freed by dropped trailing sequences).
+  *last_literals = static_cast<uint32_t>(n - cursor);
+  return out;
+}
+
 // Software matcher (native fallback). Writes up to cap sequences; returns
 // the count, sets *last_literals. Returns SIZE_MAX on overflow.
 size_t qz_find_sequences(const uint8_t* block, size_t n, int chain_depth,

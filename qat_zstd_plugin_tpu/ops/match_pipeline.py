@@ -124,6 +124,18 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
     cand_src = best_score & ((1 << 18) - 1)
     cand_off = jnp.where(cand_len > 0, sp - cand_src, 0)
 
+    # Cost model: a sequence costs ~(9 + log2(offset)) bits while literals
+    # cost ~4-8 bits/byte, so short matches at far offsets are net losses
+    # (stock zstd's fast strategy embeds the same economics). Static rule
+    # tuned on the mixed corpus: 4-byte matches only near, 5/6-byte at
+    # moderate range, 7+ anywhere.
+    worth = ((cand_len >= 7)
+             | ((cand_len >= 6) & (cand_off <= 32768))
+             | ((cand_len >= 5) & (cand_off <= 4096))
+             | ((cand_len >= 4) & (cand_off <= 256)))
+    cand_len = jnp.where(worth, cand_len, 0)
+    cand_off = jnp.where(worth, cand_off, 0)
+
     # Un-sort: scatter back to position order via a second sort keyed on pos.
     _, mlen, moff = jax.lax.sort(
         (sp, cand_len, cand_off), dimension=1, is_stable=False, num_keys=1)
@@ -149,23 +161,30 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
     return mlen, moff
 
 
-def parse_greedy_scan(mlen: jnp.ndarray) -> jnp.ndarray:
+def parse_greedy_scan(mlen: jnp.ndarray, lazy: bool = False) -> jnp.ndarray:
     """Greedy parse via lax.scan over positions (XLA-portable fallback).
 
     mlen: (B, N) candidate lengths. Returns chosen: (B, N) bool.
+    lazy=True applies the one-step lazy heuristic (defer when the next
+    position has a strictly longer candidate), the vectorized analog of
+    the golden matcher's lazy step.
     """
     B, N = mlen.shape
     ts = jnp.arange(N, dtype=jnp.int32)
+    mnext = jnp.concatenate(
+        [mlen[:, 1:], jnp.zeros((B, 1), mlen.dtype)], axis=1)
 
     def body(cursor, xs):
-        t, col = xs
+        t, col, coln = xs
         active = cursor == t
         take = active & (col >= MIN_MATCH)
+        if lazy:
+            take = take & ~(coln > col)
         nxt = jnp.where(take, t + col, jnp.where(active, t + 1, cursor))
         return nxt, take
 
     _, taken = jax.lax.scan(body, jnp.zeros((B,), jnp.int32),
-                            (ts, mlen.T))
+                            (ts, mlen.T, mnext.T))
     return taken.T
 
 
@@ -204,20 +223,21 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
     }
 
 
-def _parse(mlen: jnp.ndarray, parser: str) -> jnp.ndarray:
+def _parse(mlen: jnp.ndarray, parser: str, lazy: bool = False
+           ) -> jnp.ndarray:
     if parser == "scan":
-        return parse_greedy_scan(mlen)
+        return parse_greedy_scan(mlen, lazy)
     if parser == "pallas":
         from . import parse_kernel
-        return parse_kernel.parse_greedy_pallas(mlen)
+        return parse_kernel.parse_greedy_pallas(mlen, lazy=lazy)
     raise ValueError(f"unknown parser {parser!r}")
 
 
 @functools.partial(jax.jit, static_argnames=("neighbors", "max_seq",
-                                             "parser"))
+                                             "parser", "lazy"))
 def find_matches_batch(blocks: jnp.ndarray, lengths: jnp.ndarray,
                        neighbors: int = 4, max_seq: int = 16384,
-                       parser: str = "scan"):
+                       parser: str = "scan", lazy: bool = False):
     """Full device pipeline in one jit: candidates -> parse -> compaction.
 
     Single-program form used by the sharded/pjit path. For large N prefer
@@ -226,7 +246,7 @@ def find_matches_batch(blocks: jnp.ndarray, lengths: jnp.ndarray,
     (each stage is HBM-bound through a sort anyway).
     """
     mlen, moff = candidates(blocks, lengths, neighbors)
-    chosen = _parse(mlen, parser)
+    chosen = _parse(mlen, parser, lazy)
     return compact(chosen, mlen, moff, lengths, max_seq)
 
 
@@ -235,9 +255,9 @@ def _candidates_jit(blocks, lengths, neighbors):
     return candidates(blocks, lengths, neighbors)
 
 
-@functools.partial(jax.jit, static_argnames=("parser",))
-def _parse_jit(mlen, parser):
-    return _parse(mlen, parser)
+@functools.partial(jax.jit, static_argnames=("parser", "lazy"))
+def _parse_jit(mlen, parser, lazy=False):
+    return _parse(mlen, parser, lazy)
 
 
 @functools.partial(jax.jit, static_argnames=("max_seq",))
@@ -246,12 +266,13 @@ def _compact_jit(chosen, mlen, moff, lengths, max_seq):
 
 
 def find_matches_staged(blocks, lengths, neighbors: int = 4,
-                        max_seq: int = 16384, parser: str = "scan"):
+                        max_seq: int = 16384, parser: str = "scan",
+                        lazy: bool = False):
     """Stage-wise jit variant: same results as find_matches_batch with
     ~10x faster compilation at N=128K (each stage compiles independently;
     intermediates stay on device between stages)."""
     mlen, moff = _candidates_jit(blocks, lengths, neighbors)
-    chosen = _parse_jit(mlen, parser)
+    chosen = _parse_jit(mlen, parser, lazy)
     return _compact_jit(chosen, mlen, moff, lengths, max_seq)
 
 
@@ -286,10 +307,34 @@ def _pack_jit(out, max_seq):
     return pack_outputs(out, max_seq)
 
 
+@functools.partial(jax.jit, static_argnames=("neighbors", "max_seq",
+                                             "parser", "lazy"))
+def find_matches_fused(blocks, lengths, neighbors: int = 4,
+                       max_seq: int = 16384, parser: str = "scan",
+                       lazy: bool = False):
+    """Whole pipeline + packing as ONE jit dispatch.
+
+    The dev link charges ~50ms per dispatch RPC, so the staged variant's
+    4 dispatches dominate wall time at production batch sizes; this fused
+    program pays one. Compile is slower (one-time; persisted via the jax
+    compilation cache)."""
+    mlen, moff = candidates(blocks, lengths, neighbors)
+    chosen = _parse(mlen, parser, lazy)
+    out = compact(chosen, mlen, moff, lengths, max_seq)
+    return pack_outputs(out, max_seq)
+
+
 def find_matches_packed(blocks, lengths, neighbors: int = 4,
-                        max_seq: int = 16384, parser: str = "scan"):
-    """Staged pipeline returning the single packed result array."""
-    out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser)
+                        max_seq: int = 16384, parser: str = "scan",
+                        fused: bool | None = None, lazy: bool = False):
+    """Packed-result pipeline; fused single-dispatch on TPU by default."""
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    if fused:
+        return find_matches_fused(blocks, lengths, neighbors=neighbors,
+                                  max_seq=max_seq, parser=parser, lazy=lazy)
+    out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser,
+                              lazy)
     return _pack_jit(out, max_seq)
 
 

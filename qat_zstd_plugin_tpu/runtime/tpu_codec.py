@@ -36,8 +36,10 @@ BLOCK = tables.BLOCK_SIZE_MAX
 @dataclasses.dataclass(frozen=True)
 class TpuLevelParams:
     """Device-path level knobs (golden levels map depth; here sort-neighbor
-    depth plays the chain-depth role)."""
+    depth plays the chain-depth role, and lazy engages at L5 like the
+    golden/reference-style ladder)."""
     neighbors: int
+    lazy: bool = False
     custom_tables: bool = True
     huffman: bool = True
 
@@ -47,14 +49,14 @@ TPU_LEVEL_TABLE = {
     2: TpuLevelParams(2),
     3: TpuLevelParams(3),
     4: TpuLevelParams(4),
-    5: TpuLevelParams(4),
-    6: TpuLevelParams(6),
-    7: TpuLevelParams(6),
-    8: TpuLevelParams(8),
-    9: TpuLevelParams(8),
-    10: TpuLevelParams(10),
-    11: TpuLevelParams(12),
-    12: TpuLevelParams(16),
+    5: TpuLevelParams(4, lazy=True),
+    6: TpuLevelParams(6, lazy=True),
+    7: TpuLevelParams(6, lazy=True),
+    8: TpuLevelParams(8, lazy=True),
+    9: TpuLevelParams(8, lazy=True),
+    10: TpuLevelParams(10, lazy=True),
+    11: TpuLevelParams(12, lazy=True),
+    12: TpuLevelParams(16, lazy=True),
 }
 
 
@@ -120,7 +122,8 @@ class TpuCodec:
             def run(blocks, lengths):
                 return match_pipeline.find_matches_packed(
                     blocks, lengths, neighbors=self.params.neighbors,
-                    max_seq=self.max_seq, parser=parser)
+                    max_seq=self.max_seq, parser=parser,
+                    lazy=self.params.lazy)
 
             self._fn = run
         return self._fn
@@ -185,11 +188,17 @@ class TpuCodec:
 
         def finish_block(i: int, seqs: BlockSequences | None
                          ) -> bytes | None:
-            """Fallback matching (if needed) + entropy for one block.
-            Runs in a worker thread; the native C calls release the GIL."""
+            """Fallback matching (if needed) + extension + entropy for one
+            block. Runs in a worker thread; native C calls drop the GIL."""
             blk = buf[i * bs:min((i + 1) * bs, n)]
             if len(blk) < 64:
                 return None
+            if seqs is not None and use_native and seqs.nseq:
+                # Re-extend the device's capped matches to true lengths.
+                ll, of, ml, lastlit = native.extend_sequences(
+                    blk, seqs.lit_lengths, seqs.offsets,
+                    seqs.match_lengths, seqs.last_literals)
+                seqs = BlockSequences(ll, of, ml, lastlit)
             if seqs is None:
                 if use_native:
                     try:
