@@ -29,6 +29,8 @@ from ..format import frame, tables
 from ..format.frame import BlockSequences
 from ..golden import codec as golden_codec
 from ..golden import matcher as golden_matcher
+from ..utils import logging
+from . import device
 
 BLOCK = tables.BLOCK_SIZE_MAX
 
@@ -229,8 +231,24 @@ class TpuCodec:
         with ThreadPoolExecutor() as pool:
 
             def collect_one() -> None:
+                """Device error => all blocks of the batch take the CPU
+                fallback (the producer-error path, README.md:197-198), a
+                failure is counted, and every RETRY_INTERVAL failures a
+                device restart is attempted (failOffloadCnt semantics,
+                src/qatseqprod.c:88, 1140-1152)."""
                 ids, handle = inflight.pop(0)
-                for i, sq in zip(ids, self.collect_batch(handle)):
+                try:
+                    seqs = self.collect_batch(handle)
+                except Exception as e:
+                    logging.error("device batch failed (%s); CPU fallback "
+                                  "for %d blocks", type(e).__name__,
+                                  len(ids))
+                    if device.note_offload_failure():
+                        logging.event("attempting device restart")
+                        device.stop_device()
+                        device.start_device()
+                    seqs = [None] * len(ids)
+                for i, sq in zip(ids, seqs):
                     futures[i] = pool.submit(finish_block, i, sq)
 
             sorted_full = sorted(full_ids)
@@ -238,8 +256,15 @@ class TpuCodec:
                 ids = sorted_full[s:s + self.batch]
                 blocks_np = np.stack([buf[i * bs:(i + 1) * bs] for i in ids])
                 lengths_np = np.full(len(ids), bs, np.int32)
-                inflight.append(
-                    (ids, self.submit_batch(blocks_np, lengths_np)))
+                try:
+                    inflight.append(
+                        (ids, self.submit_batch(blocks_np, lengths_np)))
+                except Exception as e:
+                    logging.error("device submit failed (%s); CPU fallback",
+                                  type(e).__name__)
+                    device.note_offload_failure()
+                    for i in ids:
+                        futures[i] = pool.submit(finish_block, i, None)
                 if len(inflight) >= QUEUE_DEPTH:
                     collect_one()
             for i in range(nblocks):  # CPU-only blocks (tail / no device)
