@@ -125,7 +125,8 @@ def _mk_state(plan: _TablePlan, first_symbol: int):
 
 def encode_sequences(lit_lengths: np.ndarray, offsets: np.ndarray,
                      match_lengths: np.ndarray,
-                     allow_custom_tables: bool = True) -> bytes:
+                     allow_custom_tables: bool = True,
+                     force_predefined: bool = False) -> bytes:
     """Full Sequences_Section bytes for one block.
 
     lit_lengths[i]: literals preceding match i; offsets[i]: raw match offset
@@ -153,12 +154,19 @@ def encode_sequences(lit_lengths: np.ndarray, offsets: np.ndarray,
     ml_codes = tables.ml_code_np(ml)
     of_codes = tables.of_code_np(ofv)
 
-    ll_plan = _plan_table(ll_codes, "ll", tables.MAX_LL_CODE,
-                          tables.LL_MAX_ACCURACY, allow_custom_tables)
-    of_plan = _plan_table(of_codes, "of", tables.MAX_OFFSET_CODE,
-                          tables.OF_MAX_ACCURACY, allow_custom_tables)
-    ml_plan = _plan_table(ml_codes, "ml", tables.MAX_ML_CODE,
-                          tables.ML_MAX_ACCURACY, allow_custom_tables)
+    if force_predefined:
+        # Device-parity mode: Predefined_Mode for all three streams (the
+        # on-TPU encoder's static-table trade; used by differential tests).
+        ll_plan = _TablePlan(MODE_PREDEFINED, b"", _predefined("ll"), 0.0)
+        of_plan = _TablePlan(MODE_PREDEFINED, b"", _predefined("of"), 0.0)
+        ml_plan = _TablePlan(MODE_PREDEFINED, b"", _predefined("ml"), 0.0)
+    else:
+        ll_plan = _plan_table(ll_codes, "ll", tables.MAX_LL_CODE,
+                              tables.LL_MAX_ACCURACY, allow_custom_tables)
+        of_plan = _plan_table(of_codes, "of", tables.MAX_OFFSET_CODE,
+                              tables.OF_MAX_ACCURACY, allow_custom_tables)
+        ml_plan = _plan_table(ml_codes, "ml", tables.MAX_ML_CODE,
+                              tables.ML_MAX_ACCURACY, allow_custom_tables)
 
     out.append((ll_plan.mode << 6) | (of_plan.mode << 4) | (ml_plan.mode << 2))
     out += ll_plan.desc + of_plan.desc + ml_plan.desc

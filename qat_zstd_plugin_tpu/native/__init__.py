@@ -58,6 +58,11 @@ def _load():
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_size_t, ctypes.c_void_p]
+    lib.qz_block_body_external_seqsec.restype = ctypes.c_size_t
+    lib.qz_block_body_external_seqsec.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t]
     lib.qz_extend_sequences.restype = ctypes.c_size_t
     lib.qz_extend_sequences.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
@@ -124,6 +129,27 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
     n = lib.qz_block_body(
         block.ctypes.data, len(block), ll.ctypes.data, of.ctypes.data,
         ml.ctypes.data, len(ll), last_literals, int(allow_custom),
+        int(try_huffman), dst.ctypes.data, cap)
+    if n == 0:
+        return None
+    return dst[:n].tobytes()
+
+
+def block_body_external_seqsec(block: np.ndarray, lit_lens: np.ndarray,
+                               match_lens: np.ndarray, last_literals: int,
+                               seq_section: bytes,
+                               try_huffman: bool = True) -> bytes | None:
+    """Body = host literals section + device-produced sequences section."""
+    lib = _load()
+    assert lib is not None
+    block = np.ascontiguousarray(block, np.uint8)
+    ll = np.ascontiguousarray(lit_lens, np.uint32)
+    ml = np.ascontiguousarray(match_lens, np.uint32)
+    cap = len(block) + 512 + len(seq_section)
+    dst = np.empty(cap, np.uint8)
+    n = lib.qz_block_body_external_seqsec(
+        block.ctypes.data, len(block), ll.ctypes.data, ml.ctypes.data,
+        len(ll), last_literals, seq_section, len(seq_section),
         int(try_huffman), dst.ctypes.data, cap)
     if n == 0:
         return None

@@ -1228,6 +1228,37 @@ size_t qz_extend_sequences(const uint8_t* block, size_t n,
   return out;
 }
 
+// Block body assembly around a device-produced Sequences_Section: this
+// host side only gathers/encodes the literals section and concatenates
+// the accelerator's section bytes (the hybrid entropy split: literals on
+// host, sequence FSE on TPU). Returns body size or 0.
+size_t qz_block_body_external_seqsec(
+    const uint8_t* block, size_t block_len, const uint32_t* lit_lens,
+    const uint32_t* match_lens, size_t nseq, uint32_t last_literals,
+    const uint8_t* seq_section, size_t seq_section_len, int try_huffman,
+    uint8_t* dst, size_t dst_cap) {
+  std::vector<uint8_t> lits;
+  size_t pos = 0;
+  uint64_t span = last_literals;
+  for (size_t i = 0; i < nseq; ++i) span += lit_lens[i] + match_lens[i];
+  if (span != block_len) return 0;
+  lits.reserve(block_len / 2);
+  for (size_t i = 0; i < nseq; ++i) {
+    lits.insert(lits.end(), block + pos, block + pos + lit_lens[i]);
+    pos += lit_lens[i] + match_lens[i];
+  }
+  lits.insert(lits.end(), block + pos, block + pos + last_literals);
+  std::vector<uint8_t> lit_sec;
+  if (!qz::encode_literals_section(lits.data(), lits.size(),
+                                   try_huffman != 0, &lit_sec))
+    return 0;
+  size_t total = lit_sec.size() + seq_section_len;
+  if (total > dst_cap) return 0;
+  std::memcpy(dst, lit_sec.data(), lit_sec.size());
+  std::memcpy(dst + lit_sec.size(), seq_section, seq_section_len);
+  return total;
+}
+
 // Software matcher (native fallback). Writes up to cap sequences; returns
 // the count, sets *last_literals. Returns SIZE_MAX on overflow.
 size_t qz_find_sequences(const uint8_t* block, size_t n, int chain_depth,

@@ -188,9 +188,26 @@ def parse_greedy_scan(mlen: jnp.ndarray, lazy: bool = False) -> jnp.ndarray:
     return taken.T
 
 
+def _segmented_sum(vals: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive sum along axis 1 resetting at segment starts."""
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    out, _ = jax.lax.associative_scan(
+        combine, (vals, starts.astype(bool)), axis=1)
+    return out
+
+
 def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
-            lengths: jnp.ndarray, max_seq: int):
+            lengths: jnp.ndarray, max_seq: int, coalesce: bool = False):
     """Pack chosen matches into per-block sequence arrays (sort = scatter).
+
+    coalesce=True merges chains of capped matches (zero-literal successors
+    at the same offset) on device via segmented scans + one small sort —
+    the device-side version of coalesce_sequences in the runtime, needed
+    when the sequence section is also encoded on device.
 
     Returns dict with lit_len/offset/match_len (B, max_seq) int32,
     nseq (B,), last_literals (B,), overflow (B,) bool.
@@ -216,6 +233,31 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
     last_end = ends.max(axis=1)
     last_literals = lengths.astype(jnp.int32) - last_end
     overflow = nseq > max_seq
+
+    if coalesce:
+        prev_off = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), off[:, :-1]], axis=1)
+        same = valid & (lit == 0) & (off == prev_off) & (srow > 0)
+        start = valid & ~same
+        seg_lit = _segmented_sum(lit, start)   # == lit at the group start
+        seg_ml = _segmented_sum(ml, start)
+        nxt_start = jnp.concatenate(
+            [start[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        # The row after the last valid one is not a "start", so the final
+        # group must be closed explicitly.
+        is_end = valid & (nxt_start | (srow == nseq[:, None] - 1))
+        # Compact group ends to the front, ordered by position.
+        ckey = jnp.where(is_end, srow, BIG)
+        _, lit, off, ml = jax.lax.sort(
+            (ckey, seg_lit, off, seg_ml), dimension=1, is_stable=False,
+            num_keys=1)
+        nseq_m = start.sum(axis=1).astype(jnp.int32)
+        valid_m = srow < nseq_m[:, None]
+        lit = jnp.where(valid_m, lit, 0)
+        off = jnp.where(valid_m, off, 0)
+        ml = jnp.where(valid_m, ml, 0)
+        nseq = nseq_m
+
     return {
         "lit_len": lit, "offset": off, "match_len": ml,
         "nseq": jnp.minimum(nseq, max_seq), "last_literals": last_literals,
@@ -336,6 +378,58 @@ def find_matches_packed(blocks, lengths, neighbors: int = 4,
     out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser,
                               lazy)
     return _pack_jit(out, max_seq)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seq",))
+def _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq):
+    return compact(chosen, mlen, moff, lengths, max_seq, coalesce=True)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seq",))
+def _pack_wide_jit(out, max_seq):
+    """Full-width (lit, ml) packing for the device-entropy path: offsets
+    stay on device (the section owns them), so both words are free for
+    uncapped lengths — no u16 overflow cases."""
+    hdr0 = out["nseq"]
+    hdr1 = (out["last_literals"] << 1) | out["overflow"].astype(jnp.int32)
+    hdr = jnp.stack([hdr0, hdr1], axis=-1)[:, None, :]
+    body = jnp.stack([out["lit_len"], out["match_len"]], axis=-1)
+    return jnp.concatenate([hdr, body], axis=1)
+
+
+def unpack_outputs_wide(packed: np.ndarray) -> dict:
+    packed = np.asarray(packed)
+    hdr = packed[:, 0, :]
+    return {
+        "nseq": hdr[:, 0],
+        "last_literals": (hdr[:, 1] >> 1).astype(np.int64),
+        "overflow": (hdr[:, 1] & 1).astype(bool),
+        "lit_len": packed[:, 1:, 0].astype(np.int64),
+        "match_len": packed[:, 1:, 1].astype(np.int64),
+    }
+
+
+def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
+                             max_seq: int = 16384, parser: str = "scan",
+                             lazy: bool = False, seq_words: int = 8192):
+    """Pipeline + on-device FSE sequence-section encoding (hybrid entropy:
+    the accelerator emits finished Sequences_Section bitstreams, the host
+    adds literals sections — shrinking the device->host return path to the
+    compressed stream plus per-block (lit, ml) metadata).
+
+    Sequences are coalesced on device (segmented scans) before encoding;
+    host extension does not apply (the section is final) — the static-path
+    trade the QAT hardware makes. Returns (packed, words, bits, overflow).
+    """
+    from . import fse_kernel
+    mlen, moff = _candidates_jit(blocks, lengths, neighbors)
+    chosen = _parse_jit(mlen, parser, lazy)
+    out = _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq)
+    words, bits, sec_over = fse_kernel.encode_sequence_sections(
+        out["lit_len"], out["offset"], out["match_len"], out["nseq"],
+        max_words=seq_words)
+    packed = _pack_wide_jit(out, max_seq)
+    return packed, words, bits, sec_over
 
 
 def unpack_outputs(packed: np.ndarray) -> dict:

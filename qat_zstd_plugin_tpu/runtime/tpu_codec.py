@@ -97,7 +97,8 @@ class TpuCodec:
 
     def __init__(self, level: int = 1, batch: int = 8,
                  block_size: int = BLOCK, max_seq: int = 16384,
-                 parser: str | None = None, use_device: bool = True):
+                 parser: str | None = None, use_device: bool = True,
+                 device_entropy: bool = False):
         if level not in TPU_LEVEL_TABLE:
             raise ValueError(
                 f"unsupported level {level}: supported range 1..12")
@@ -108,6 +109,10 @@ class TpuCodec:
         self.max_seq = max_seq
         self.parser = parser
         self.use_device = use_device
+        # device_entropy: the accelerator also emits the FSE sequence
+        # sections (predefined tables, no host extension) — the hybrid
+        # entropy mode; off by default in favour of best ratio.
+        self.device_entropy = device_entropy
         self._fn = None
 
     def _resolve_parser(self) -> str:
@@ -121,11 +126,18 @@ class TpuCodec:
             from ..ops import match_pipeline
             parser = self._resolve_parser()
 
-            def run(blocks, lengths):
-                return match_pipeline.find_matches_packed(
-                    blocks, lengths, neighbors=self.params.neighbors,
-                    max_seq=self.max_seq, parser=parser,
-                    lazy=self.params.lazy)
+            if self.device_entropy:
+                def run(blocks, lengths):
+                    return match_pipeline.find_matches_with_seqsec(
+                        blocks, lengths, neighbors=self.params.neighbors,
+                        max_seq=self.max_seq, parser=parser,
+                        lazy=self.params.lazy)
+            else:
+                def run(blocks, lengths):
+                    return match_pipeline.find_matches_packed(
+                        blocks, lengths, neighbors=self.params.neighbors,
+                        max_seq=self.max_seq, parser=parser,
+                        lazy=self.params.lazy)
 
             self._fn = run
         return self._fn
@@ -148,17 +160,58 @@ class TpuCodec:
                                   jnp.asarray(lengths_np))
         return b, packed
 
-    def collect_batch(self, handle) -> list[BlockSequences | None]:
-        """Block on a submitted batch and convert to per-block sequences.
-        Entries are None where the caller must fall back."""
-        from ..ops import match_pipeline
-        b, packed = handle
+    @staticmethod
+    def _nbseq_header(n: int) -> bytes:
+        if n < 128:
+            return bytes([n])
+        if n < 0x7F00:
+            return bytes([(n >> 8) + 128, n & 0xFF])
+        return bytes([0xFF]) + (n - 0x7F00).to_bytes(2, "little")
+
+    def collect_batch(self, handle):
+        """Block on a submitted batch. Returns a list of
+        (BlockSequences|None, seq_section_bytes|None) per block; the
+        sequences are raw (uncoalesced) when a device section is present,
+        since the section already encodes them."""
+        from ..ops import bitpack, match_pipeline
+        b, result = handle
+        if self.device_entropy:
+            packed, words, bits, sec_over = result
+            out = match_pipeline.unpack_outputs_wide(np.asarray(packed))
+            words = np.asarray(words)
+            bits = np.asarray(bits)
+            sec_over = np.asarray(sec_over)
+            res = []
+            for i in range(b):
+                if bool(out["overflow"][i]) or bool(sec_over[i]):
+                    res.append((None, None))
+                    continue
+                ns = int(out["nseq"][i])
+                # Offsets live inside the device section; zeros here are
+                # placeholders (the literals-only host side never reads
+                # them).
+                seqs = BlockSequences(
+                    out["lit_len"][i, :ns].astype(np.int64),
+                    np.zeros(ns, np.int64),
+                    out["match_len"][i, :ns].astype(np.int64),
+                    int(out["last_literals"][i]))
+                if ns == 0:
+                    res.append((seqs, None))  # host encodes the 0-seq case
+                    continue
+                sec = (self._nbseq_header(ns) + b"\x00"
+                       + bitpack.backward_stream_bytes(words[i],
+                                                       int(bits[i])))
+                res.append((seqs, sec))
+            return res
+        packed = result
         out = match_pipeline.unpack_outputs(np.asarray(packed))
-        return [device_outputs_to_sequences(out, i) for i in range(b)]
+        return [(device_outputs_to_sequences(out, i), None)
+                for i in range(b)]
 
     def produce_sequences(self, blocks_np: np.ndarray, lengths_np: np.ndarray
                           ) -> list[BlockSequences | None]:
-        return self.collect_batch(self.submit_batch(blocks_np, lengths_np))
+        return [s for s, _ in
+                self.collect_batch(self.submit_batch(blocks_np, lengths_np))]
 
     def compress(self, data: bytes | np.ndarray, checksum: bool = True,
                  validate: bool = False) -> bytes:
@@ -188,13 +241,20 @@ class TpuCodec:
         gp = golden_codec.level_params(self.level)
         use_native = native.available()
 
-        def finish_block(i: int, seqs: BlockSequences | None
-                         ) -> bytes | None:
+        def finish_block(i: int, seqs: BlockSequences | None,
+                         dev_section: bytes | None = None) -> bytes | None:
             """Fallback matching (if needed) + extension + entropy for one
             block. Runs in a worker thread; native C calls drop the GIL."""
             blk = buf[i * bs:min((i + 1) * bs, n)]
             if len(blk) < 64:
                 return None
+            if dev_section is not None and seqs is not None and use_native:
+                # Hybrid entropy: the device already encoded the sequence
+                # section; host adds the literals section only. No
+                # extension — the section is final.
+                return native.block_body_external_seqsec(
+                    blk, seqs.lit_lengths, seqs.match_lengths,
+                    seqs.last_literals, dev_section, self.params.huffman)
             if seqs is not None and use_native and seqs.nseq:
                 # Re-extend the device's capped matches to true lengths.
                 ll, of, ml, lastlit = native.extend_sequences(
@@ -247,9 +307,9 @@ class TpuCodec:
                         logging.event("attempting device restart")
                         device.stop_device()
                         device.start_device()
-                    seqs = [None] * len(ids)
-                for i, sq in zip(ids, seqs):
-                    futures[i] = pool.submit(finish_block, i, sq)
+                    seqs = [(None, None)] * len(ids)
+                for i, (sq, sec) in zip(ids, seqs):
+                    futures[i] = pool.submit(finish_block, i, sq, sec)
 
             sorted_full = sorted(full_ids)
             for s in range(0, len(sorted_full), self.batch):
