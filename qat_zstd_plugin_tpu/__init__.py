@@ -86,8 +86,15 @@ def sequence_producer(state: SeqProdState, block: bytes | np.ndarray,
     if window_size is not None and window_size < min(n, 32 * 1024):
         return SEQUENCE_PRODUCER_ERROR  # window floor, src/qatseqprod.c:1123
     try:
+        from . import native
         from .golden import codec as golden_codec
-        seqs = golden_codec.compress_block_sequences(buf, state.level)
+        if native.available():
+            gp = golden_codec.level_params(state.level)
+            ll, of, ml, lastlit = native.find_sequences(
+                buf, gp.chain_depth, gp.lazy)
+            seqs = BlockSequences(ll, of, ml, lastlit)
+        else:
+            seqs = golden_codec.compress_block_sequences(buf, state.level)
     except Exception:
         return SEQUENCE_PRODUCER_ERROR
     out = [(int(o), int(l), int(m)) for l, o, m in
