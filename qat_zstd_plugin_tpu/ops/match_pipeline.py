@@ -81,24 +81,35 @@ def _grams(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, ...]:
 
 
 def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
-               neighbors: int = 4) -> tuple[jnp.ndarray, jnp.ndarray]:
+               neighbors: int = 4, stride: int = 1
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Best (match_len, offset) candidate per position.
 
     blocks: (B, N) uint8, zero-padded beyond lengths.
     lengths: (B,) int32 valid byte counts.
+    stride > 1 samples anchor positions (fast mode: matches start only at
+    multiples of stride, halving the dominant sort cost at stride 2 — the
+    zstd fast-strategy acceleration analog). Offset-1 runs stay exact at
+    every position.
     Returns (mlen, moff): (B, N) int32 each; mlen == 0 where no candidate.
     Capped at LCP_CAP except offset-1 runs (exact lengths).
     """
     B, N = blocks.shape
     g0, g1, g2, g3 = _grams(blocks, N)
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    if stride > 1:
+        g0 = g0[:, ::stride]
+        g1 = g1[:, ::stride]
+        g2 = g2[:, ::stride]
+        g3 = g3[:, ::stride]
+        pos = pos[:, ::stride]
 
     # Stable sort by gram; ties keep position order -> per-group "chains".
     sk, sp, s1, s2, s3 = jax.lax.sort(
         (g0, pos, g1, g2, g3), dimension=1, is_stable=True, num_keys=1)
 
     blen = lengths[:, None].astype(jnp.int32)
-    best_score = jnp.zeros((B, N), jnp.int32)
+    best_score = jnp.zeros(sp.shape, jnp.int32)
     sentinel = jnp.full((B, 1), BIG, jnp.int32)
     for k in range(1, neighbors + 1):
         pk = jnp.concatenate(
@@ -139,6 +150,13 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # Un-sort: scatter back to position order via a second sort keyed on pos.
     _, mlen, moff = jax.lax.sort(
         (sp, cand_len, cand_off), dimension=1, is_stable=False, num_keys=1)
+    if stride > 1:
+        # Expand anchors back to the full grid (zeros between anchors).
+        zero = jnp.zeros_like(mlen)
+        mlen = jnp.stack([mlen] + [zero] * (stride - 1),
+                         axis=2).reshape(B, N)
+        moff = jnp.stack([moff] + [zero] * (stride - 1),
+                         axis=2).reshape(B, N)
 
     # Offset-1 run augmentation (exact, uncapped lengths).
     xi = blocks.astype(jnp.int32)
@@ -292,9 +310,9 @@ def find_matches_batch(blocks: jnp.ndarray, lengths: jnp.ndarray,
     return compact(chosen, mlen, moff, lengths, max_seq)
 
 
-@functools.partial(jax.jit, static_argnames=("neighbors",))
-def _candidates_jit(blocks, lengths, neighbors):
-    return candidates(blocks, lengths, neighbors)
+@functools.partial(jax.jit, static_argnames=("neighbors", "stride"))
+def _candidates_jit(blocks, lengths, neighbors, stride=1):
+    return candidates(blocks, lengths, neighbors, stride)
 
 
 @functools.partial(jax.jit, static_argnames=("parser", "lazy"))
@@ -309,11 +327,11 @@ def _compact_jit(chosen, mlen, moff, lengths, max_seq):
 
 def find_matches_staged(blocks, lengths, neighbors: int = 4,
                         max_seq: int = 16384, parser: str = "scan",
-                        lazy: bool = False):
+                        lazy: bool = False, stride: int = 1):
     """Stage-wise jit variant: same results as find_matches_batch with
     ~10x faster compilation at N=128K (each stage compiles independently;
     intermediates stay on device between stages)."""
-    mlen, moff = _candidates_jit(blocks, lengths, neighbors)
+    mlen, moff = _candidates_jit(blocks, lengths, neighbors, stride)
     chosen = _parse_jit(mlen, parser, lazy)
     return _compact_jit(chosen, mlen, moff, lengths, max_seq)
 
@@ -350,17 +368,17 @@ def _pack_jit(out, max_seq):
 
 
 @functools.partial(jax.jit, static_argnames=("neighbors", "max_seq",
-                                             "parser", "lazy"))
+                                             "parser", "lazy", "stride"))
 def find_matches_fused(blocks, lengths, neighbors: int = 4,
                        max_seq: int = 16384, parser: str = "scan",
-                       lazy: bool = False):
+                       lazy: bool = False, stride: int = 1):
     """Whole pipeline + packing as ONE jit dispatch.
 
     The dev link charges ~50ms per dispatch RPC, so the staged variant's
     4 dispatches dominate wall time at production batch sizes; this fused
     program pays one. Compile is slower (one-time; persisted via the jax
     compilation cache)."""
-    mlen, moff = candidates(blocks, lengths, neighbors)
+    mlen, moff = candidates(blocks, lengths, neighbors, stride)
     chosen = _parse(mlen, parser, lazy)
     out = compact(chosen, mlen, moff, lengths, max_seq)
     return pack_outputs(out, max_seq)
@@ -368,15 +386,17 @@ def find_matches_fused(blocks, lengths, neighbors: int = 4,
 
 def find_matches_packed(blocks, lengths, neighbors: int = 4,
                         max_seq: int = 16384, parser: str = "scan",
-                        fused: bool | None = None, lazy: bool = False):
+                        fused: bool | None = None, lazy: bool = False,
+                        stride: int = 1):
     """Packed-result pipeline; fused single-dispatch on TPU by default."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
     if fused:
         return find_matches_fused(blocks, lengths, neighbors=neighbors,
-                                  max_seq=max_seq, parser=parser, lazy=lazy)
+                                  max_seq=max_seq, parser=parser, lazy=lazy,
+                                  stride=stride)
     out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser,
-                              lazy)
+                              lazy, stride)
     return _pack_jit(out, max_seq)
 
 
@@ -411,7 +431,8 @@ def unpack_outputs_wide(packed: np.ndarray) -> dict:
 
 def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
                              max_seq: int = 16384, parser: str = "scan",
-                             lazy: bool = False, seq_words: int = 8192):
+                             lazy: bool = False, seq_words: int = 8192,
+                             stride: int = 1):
     """Pipeline + on-device FSE sequence-section encoding (hybrid entropy:
     the accelerator emits finished Sequences_Section bitstreams, the host
     adds literals sections — shrinking the device->host return path to the
@@ -422,7 +443,7 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
     trade the QAT hardware makes. Returns (packed, words, bits, overflow).
     """
     from . import fse_kernel
-    mlen, moff = _candidates_jit(blocks, lengths, neighbors)
+    mlen, moff = _candidates_jit(blocks, lengths, neighbors, stride)
     chosen = _parse_jit(mlen, parser, lazy)
     out = _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq)
     words, bits, sec_over = fse_kernel.encode_sequence_sections(

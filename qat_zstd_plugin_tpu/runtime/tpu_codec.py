@@ -42,6 +42,7 @@ class TpuLevelParams:
     golden/reference-style ladder)."""
     neighbors: int
     lazy: bool = False
+    stride: int = 1
     custom_tables: bool = True
     huffman: bool = True
 
@@ -131,13 +132,13 @@ class TpuCodec:
                     return match_pipeline.find_matches_with_seqsec(
                         blocks, lengths, neighbors=self.params.neighbors,
                         max_seq=self.max_seq, parser=parser,
-                        lazy=self.params.lazy)
+                        lazy=self.params.lazy, stride=self.params.stride)
             else:
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_packed(
                         blocks, lengths, neighbors=self.params.neighbors,
                         max_seq=self.max_seq, parser=parser,
-                        lazy=self.params.lazy)
+                        lazy=self.params.lazy, stride=self.params.stride)
 
             self._fn = run
         return self._fn
