@@ -392,6 +392,7 @@ struct HuffmanTable {
 
 // Length-limited canonical Huffman (mirrors format/huffman.py build_table,
 // including the heap tie-break discipline, so outputs are byte-identical).
+// Tree depths come from parent pointers (O(n log n), no symbol lists).
 bool build_huffman(const int64_t* hist, HuffmanTable* t) {
   std::vector<int> present;
   for (int s = 0; s < 256; ++s)
@@ -401,27 +402,36 @@ bool build_huffman(const int64_t* hist, HuffmanTable* t) {
   struct Node {
     int64_t freq;
     int uid;
-    std::vector<int> syms;
+    int id;  // index into parent[]
   };
   auto cmp = [](const Node& a, const Node& b) {
     return a.freq != b.freq ? a.freq > b.freq : a.uid > b.uid;
   };
   std::priority_queue<Node, std::vector<Node>, decltype(cmp)> heap(cmp);
   int uid = 0;
-  for (int s : present) heap.push({hist[s], uid++, {s}});
-  std::vector<int64_t> lengths(256, 0);
+  std::vector<int> parent(2 * present.size(), -1);
+  std::vector<int> leaf_id(256, -1);
+  int next_id = 0;
+  for (int s : present) {
+    leaf_id[s] = next_id;
+    heap.push({hist[s], uid++, next_id++});
+  }
   while (heap.size() > 1) {
     Node a = heap.top();
     heap.pop();
     Node b = heap.top();
     heap.pop();
-    Node m{a.freq + b.freq, uid++, {}};
-    m.syms.reserve(a.syms.size() + b.syms.size());
-    m.syms.insert(m.syms.end(), a.syms.begin(), a.syms.end());
-    m.syms.insert(m.syms.end(), b.syms.begin(), b.syms.end());
-    for (int s : m.syms) ++lengths[s];
-    heap.push(std::move(m));
+    int m = next_id++;
+    parent[a.id] = m;
+    parent[b.id] = m;
+    heap.push({a.freq + b.freq, uid++, m});
   }
+  // Depths root-down (parents always have higher ids than children).
+  std::vector<int> depth(next_id, 0);
+  for (int id = next_id - 2; id >= 0; --id)
+    depth[id] = depth[parent[id]] + 1;
+  std::vector<int64_t> lengths(256, 0);
+  for (int s : present) lengths[s] = depth[leaf_id[s]];
   for (int s : present) lengths[s] = std::min<int64_t>(lengths[s],
                                                        MAX_CODE_BITS);
   const int64_t unit = 1ll << MAX_CODE_BITS;
@@ -572,12 +582,46 @@ bool serialize_tree(const HuffmanTable& t, std::vector<uint8_t>* out) {
 
 static std::vector<uint8_t> huf_stream(const uint8_t* data, size_t n,
                                        const HuffmanTable& t) {
-  BackwardBitWriter w;
-  for (size_t i = n; i-- > 0;) {
-    uint8_t b = data[i];
-    w.add(t.codes[b], t.nb_bits[b]);
+  // Combined (code | nbits<<12) entries; 4 symbols (<=44 bits) per
+  // accumulator refill, whole-word flushes.
+  uint32_t entry[256];
+  for (int s = 0; s < 256; ++s)
+    entry[s] = t.codes[s] | (static_cast<uint32_t>(t.nb_bits[s]) << 12);
+  std::vector<uint8_t> out;
+  out.reserve(n / 2 + 8);
+  uint64_t acc = 0;
+  int nbits = 0;
+  size_t i = n;
+  while (i >= 2) {
+    // Two symbols add <= 22 bits; residue stays <= 31 after the flush, so
+    // the 64-bit accumulator never overflows (31 + 22 = 53).
+    uint32_t e = entry[data[--i]];
+    acc |= static_cast<uint64_t>(e & 0xFFF) << nbits;
+    nbits += e >> 12;
+    e = entry[data[--i]];
+    acc |= static_cast<uint64_t>(e & 0xFFF) << nbits;
+    nbits += e >> 12;
+    if (nbits >= 32) {
+      uint32_t word = static_cast<uint32_t>(acc);
+      out.insert(out.end(), reinterpret_cast<uint8_t*>(&word),
+                 reinterpret_cast<uint8_t*>(&word) + 4);
+      acc >>= 32;
+      nbits -= 32;
+    }
   }
-  return w.close();
+  while (i > 0) {
+    uint32_t e = entry[data[--i]];
+    acc |= static_cast<uint64_t>(e & 0xFFF) << nbits;
+    nbits += e >> 12;
+  }
+  acc |= 1ull << nbits;  // close sentinel
+  ++nbits;
+  while (nbits > 0) {
+    out.push_back(static_cast<uint8_t>(acc & 0xFF));
+    acc >>= 8;
+    nbits -= 8;
+  }
+  return out;
 }
 
 // ------------------------------------------------------- literals section
