@@ -121,7 +121,12 @@ def compress(data: bytes | np.ndarray, level: int = 1,
 
 def decompress(frame_bytes: bytes, expected_size: int | None = None
                ) -> bytes:
-    """Decode via stock libzstd (decompression stays software in the
-    reference too — test/benchmark.c decompresses with plain DCtx)."""
+    """Decode a zstd frame. Prefers stock libzstd (decompression stays
+    software in the reference too — test/benchmark.c uses a plain DCtx);
+    falls back to the in-repo golden decoder when libzstd is absent, so
+    the framework is self-contained."""
     from . import oracle
-    return oracle.decompress(frame_bytes, expected_size)
+    if oracle.available():
+        return oracle.decompress(frame_bytes, expected_size)
+    from .golden import decoder as golden_decoder
+    return golden_decoder.decompress(frame_bytes)
