@@ -81,8 +81,8 @@ def _grams(x: jnp.ndarray, n: int) -> tuple[jnp.ndarray, ...]:
 
 
 def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
-               neighbors: int = 4, stride: int = 1
-               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+               neighbors: int = 4, stride: int = 1,
+               window: int = 1 << 30) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Best (match_len, offset) candidate per position.
 
     blocks: (B, N) uint8, zero-padded beyond lengths.
@@ -104,20 +104,46 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
         g3 = g3[:, ::stride]
         pos = pos[:, ::stride]
 
+    # Window segmentation: XLA's sort is ~2.4x faster at N=8-16K than at
+    # 128K (VMEM locality), so restricting the match window to `window`
+    # bytes and sorting per segment trades a little ratio (matches cannot
+    # cross segment boundaries) for a large sort speedup. Positions stay
+    # segment-local through the sort and are rebased afterwards.
+    nseg = 1
+    if window < N:
+        assert N % window == 0 and window % stride == 0, (N, window)
+        nseg = N // window
+        wl = window // stride
+
+        def seg(a):
+            return a.reshape(B * nseg, wl)
+
+        g0, g1, g2, g3 = seg(g0), seg(g1), seg(g2), seg(g3)
+        pos = pos.reshape(B * nseg, wl)
+        seg_start = (jnp.arange(B * nseg, dtype=jnp.int32) % nseg) * window
+        pos = pos - seg_start[:, None]  # segment-local positions
+
     # Stable sort by gram; ties keep position order -> per-group "chains".
     sk, sp, s1, s2, s3 = jax.lax.sort(
         (g0, pos, g1, g2, g3), dimension=1, is_stable=True, num_keys=1)
 
-    blen = lengths[:, None].astype(jnp.int32)
+    if nseg > 1:
+        seg_len = jnp.clip(
+            jnp.repeat(lengths.astype(jnp.int32), nseg) - seg_start, 0,
+            window)
+        blen = seg_len[:, None]
+    else:
+        blen = lengths[:, None].astype(jnp.int32)
+    R = sp.shape[0]  # row count: B, or B*nseg when segmented
     best_score = jnp.zeros(sp.shape, jnp.int32)
-    sentinel = jnp.full((B, 1), BIG, jnp.int32)
+    sentinel = jnp.full((R, 1), BIG, jnp.int32)
     for k in range(1, neighbors + 1):
         pk = jnp.concatenate(
-            [jnp.broadcast_to(sentinel, (B, k)), sp[:, :-k]], axis=1)
-        kk = jnp.concatenate([jnp.zeros((B, k), jnp.int32), sk[:, :-k]], 1)
-        p1 = jnp.concatenate([jnp.zeros((B, k), jnp.int32), s1[:, :-k]], 1)
-        p2 = jnp.concatenate([jnp.zeros((B, k), jnp.int32), s2[:, :-k]], 1)
-        p3 = jnp.concatenate([jnp.zeros((B, k), jnp.int32), s3[:, :-k]], 1)
+            [jnp.broadcast_to(sentinel, (R, k)), sp[:, :-k]], axis=1)
+        kk = jnp.concatenate([jnp.zeros((R, k), jnp.int32), sk[:, :-k]], 1)
+        p1 = jnp.concatenate([jnp.zeros((R, k), jnp.int32), s1[:, :-k]], 1)
+        p2 = jnp.concatenate([jnp.zeros((R, k), jnp.int32), s2[:, :-k]], 1)
+        p3 = jnp.concatenate([jnp.zeros((R, k), jnp.int32), s3[:, :-k]], 1)
         key_eq = sk == kk
         f1 = s1 == p1
         f2 = s2 == p2
@@ -150,6 +176,9 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
     # Un-sort: scatter back to position order via a second sort keyed on pos.
     _, mlen, moff = jax.lax.sort(
         (sp, cand_len, cand_off), dimension=1, is_stable=False, num_keys=1)
+    if nseg > 1:
+        mlen = mlen.reshape(B, N // stride)
+        moff = moff.reshape(B, N // stride)
     if stride > 1:
         # Expand anchors back to the full grid (zeros between anchors).
         zero = jnp.zeros_like(mlen)
@@ -158,7 +187,8 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
         moff = jnp.stack([moff] + [zero] * (stride - 1),
                          axis=2).reshape(B, N)
 
-    # Offset-1 run augmentation (exact, uncapped lengths).
+    # Offset-1 run augmentation (exact, uncapped lengths; always
+    # full-block — runs cross candidate-window segments freely).
     xi = blocks.astype(jnp.int32)
     idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
     chg = jnp.concatenate(
@@ -166,7 +196,8 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
     run_end = jax.lax.cummin(
         jnp.where(chg, idx, BIG)[:, ::-1], axis=1)[:, ::-1]
     len1 = run_end - idx + 1
-    len1 = jnp.minimum(len1, blen - idx)
+    blen_full = lengths[:, None].astype(jnp.int32)
+    len1 = jnp.minimum(len1, blen_full - idx)
     # Cap at 65535 so packed results fit u16; longer runs continue as
     # chained same-offset matches that the host coalesce re-merges.
     len1 = jnp.minimum(len1, 65535)
@@ -219,7 +250,8 @@ def _segmented_sum(vals: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
 
 
 def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
-            lengths: jnp.ndarray, max_seq: int, coalesce: bool = False):
+            lengths: jnp.ndarray, max_seq: int, coalesce: bool = False,
+            window: int = 1 << 30):
     """Pack chosen matches into per-block sequence arrays (sort = scatter).
 
     coalesce=True merges chains of capped matches (zero-literal successors
@@ -232,12 +264,42 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
     """
     B, N = chosen.shape
     idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
-    key = jnp.where(chosen, idx, BIG)
-    t2, l2, o2 = jax.lax.sort((key, mlen, moff), dimension=1,
-                              is_stable=False, num_keys=1)
-    t2 = t2[:, :max_seq]
-    l2 = l2[:, :max_seq]
-    o2 = o2[:, :max_seq]
+    if window < N:
+        # Segmented compaction: the greedy parse spaces chosen positions
+        # >= MIN_MATCH apart, so a w-byte segment holds at most w/4
+        # sequences — compact per segment (small fast sorts), then merge
+        # the per-segment prefixes with one much smaller global sort.
+        # Position order is preserved because segments tile the block.
+        assert N % window == 0
+        nseg = N // window
+        capseg = window // MIN_MATCH
+        lw = jnp.arange(window, dtype=jnp.int32)[None, :]
+        ch = chosen.reshape(B * nseg, window)
+        keyl = jnp.where(ch, jnp.broadcast_to(lw, ch.shape), BIG)
+        gidx = idx.reshape(B * nseg, window)
+        _, sl2, so2, sg2 = jax.lax.sort(
+            (keyl, mlen.reshape(B * nseg, window),
+             moff.reshape(B * nseg, window), gidx), dimension=1,
+            is_stable=False, num_keys=1)
+        sl2 = sl2[:, :capseg].reshape(B, nseg * capseg)
+        so2 = so2[:, :capseg].reshape(B, nseg * capseg)
+        sg2 = sg2[:, :capseg].reshape(B, nseg * capseg)
+        seg_valid = (jnp.arange(capseg, dtype=jnp.int32)[None, :]
+                     < ch.sum(axis=1).astype(jnp.int32)[:, None])
+        seg_valid = seg_valid.reshape(B, nseg * capseg)
+        gkey = jnp.where(seg_valid, sg2, BIG)
+        t2, l2, o2 = jax.lax.sort((gkey, sl2, so2), dimension=1,
+                                  is_stable=False, num_keys=1)
+        t2 = t2[:, :max_seq]
+        l2 = l2[:, :max_seq]
+        o2 = o2[:, :max_seq]
+    else:
+        key = jnp.where(chosen, idx, BIG)
+        t2, l2, o2 = jax.lax.sort((key, mlen, moff), dimension=1,
+                                  is_stable=False, num_keys=1)
+        t2 = t2[:, :max_seq]
+        l2 = l2[:, :max_seq]
+        o2 = o2[:, :max_seq]
     nseq = chosen.sum(axis=1).astype(jnp.int32)
     srow = jnp.broadcast_to(jnp.arange(max_seq, dtype=jnp.int32)[None, :],
                             (B, max_seq))
@@ -310,9 +372,10 @@ def find_matches_batch(blocks: jnp.ndarray, lengths: jnp.ndarray,
     return compact(chosen, mlen, moff, lengths, max_seq)
 
 
-@functools.partial(jax.jit, static_argnames=("neighbors", "stride"))
-def _candidates_jit(blocks, lengths, neighbors, stride=1):
-    return candidates(blocks, lengths, neighbors, stride)
+@functools.partial(jax.jit, static_argnames=("neighbors", "stride",
+                                             "window"))
+def _candidates_jit(blocks, lengths, neighbors, stride=1, window=1 << 30):
+    return candidates(blocks, lengths, neighbors, stride, window)
 
 
 @functools.partial(jax.jit, static_argnames=("parser", "lazy"))
@@ -320,20 +383,21 @@ def _parse_jit(mlen, parser, lazy=False):
     return _parse(mlen, parser, lazy)
 
 
-@functools.partial(jax.jit, static_argnames=("max_seq",))
-def _compact_jit(chosen, mlen, moff, lengths, max_seq):
-    return compact(chosen, mlen, moff, lengths, max_seq)
+@functools.partial(jax.jit, static_argnames=("max_seq", "window"))
+def _compact_jit(chosen, mlen, moff, lengths, max_seq, window=1 << 30):
+    return compact(chosen, mlen, moff, lengths, max_seq, window=window)
 
 
 def find_matches_staged(blocks, lengths, neighbors: int = 4,
                         max_seq: int = 16384, parser: str = "scan",
-                        lazy: bool = False, stride: int = 1):
+                        lazy: bool = False, stride: int = 1,
+                        window: int = 1 << 30):
     """Stage-wise jit variant: same results as find_matches_batch with
     ~10x faster compilation at N=128K (each stage compiles independently;
     intermediates stay on device between stages)."""
-    mlen, moff = _candidates_jit(blocks, lengths, neighbors, stride)
+    mlen, moff = _candidates_jit(blocks, lengths, neighbors, stride, window)
     chosen = _parse_jit(mlen, parser, lazy)
-    return _compact_jit(chosen, mlen, moff, lengths, max_seq)
+    return _compact_jit(chosen, mlen, moff, lengths, max_seq, window)
 
 
 def pack_outputs(out: dict, max_seq: int) -> jnp.ndarray:
@@ -368,41 +432,45 @@ def _pack_jit(out, max_seq):
 
 
 @functools.partial(jax.jit, static_argnames=("neighbors", "max_seq",
-                                             "parser", "lazy", "stride"))
+                                             "parser", "lazy", "stride",
+                                             "window"))
 def find_matches_fused(blocks, lengths, neighbors: int = 4,
                        max_seq: int = 16384, parser: str = "scan",
-                       lazy: bool = False, stride: int = 1):
+                       lazy: bool = False, stride: int = 1,
+                       window: int = 1 << 30):
     """Whole pipeline + packing as ONE jit dispatch.
 
     The dev link charges ~50ms per dispatch RPC, so the staged variant's
     4 dispatches dominate wall time at production batch sizes; this fused
     program pays one. Compile is slower (one-time; persisted via the jax
     compilation cache)."""
-    mlen, moff = candidates(blocks, lengths, neighbors, stride)
+    mlen, moff = candidates(blocks, lengths, neighbors, stride, window)
     chosen = _parse(mlen, parser, lazy)
-    out = compact(chosen, mlen, moff, lengths, max_seq)
+    out = compact(chosen, mlen, moff, lengths, max_seq, window=window)
     return pack_outputs(out, max_seq)
 
 
 def find_matches_packed(blocks, lengths, neighbors: int = 4,
                         max_seq: int = 16384, parser: str = "scan",
                         fused: bool | None = None, lazy: bool = False,
-                        stride: int = 1):
+                        stride: int = 1, window: int = 1 << 30):
     """Packed-result pipeline; fused single-dispatch on TPU by default."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
     if fused:
         return find_matches_fused(blocks, lengths, neighbors=neighbors,
                                   max_seq=max_seq, parser=parser, lazy=lazy,
-                                  stride=stride)
+                                  stride=stride, window=window)
     out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser,
-                              lazy, stride)
+                              lazy, stride, window)
     return _pack_jit(out, max_seq)
 
 
-@functools.partial(jax.jit, static_argnames=("max_seq",))
-def _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq):
-    return compact(chosen, mlen, moff, lengths, max_seq, coalesce=True)
+@functools.partial(jax.jit, static_argnames=("max_seq", "window"))
+def _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq,
+                          window=1 << 30):
+    return compact(chosen, mlen, moff, lengths, max_seq, coalesce=True,
+                   window=window)
 
 
 @functools.partial(jax.jit, static_argnames=("max_seq",))
@@ -432,7 +500,7 @@ def unpack_outputs_wide(packed: np.ndarray) -> dict:
 def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
                              max_seq: int = 16384, parser: str = "scan",
                              lazy: bool = False, seq_words: int = 8192,
-                             stride: int = 1):
+                             stride: int = 1, window: int = 1 << 30):
     """Pipeline + on-device FSE sequence-section encoding (hybrid entropy:
     the accelerator emits finished Sequences_Section bitstreams, the host
     adds literals sections — shrinking the device->host return path to the
@@ -443,9 +511,9 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
     trade the QAT hardware makes. Returns (packed, words, bits, overflow).
     """
     from . import fse_kernel
-    mlen, moff = _candidates_jit(blocks, lengths, neighbors, stride)
+    mlen, moff = _candidates_jit(blocks, lengths, neighbors, stride, window)
     chosen = _parse_jit(mlen, parser, lazy)
-    out = _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq)
+    out = _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq, window)
     words, bits, sec_over = fse_kernel.encode_sequence_sections(
         out["lit_len"], out["offset"], out["match_len"], out["nseq"],
         max_words=seq_words)
