@@ -83,7 +83,8 @@ def main() -> None:
 
     data = make_corpus(CORPUS_MB << 20)
     buf = np.frombuffer(data, np.uint8)
-    neighbors = TPU_LEVEL_TABLE[LEVEL].neighbors
+    params = TPU_LEVEL_TABLE[LEVEL]
+    neighbors = params.neighbors
     parser = "pallas" if jax.default_backend() == "tpu" else "scan"
 
     # --- device-resident pipeline throughput (primary)
@@ -94,7 +95,10 @@ def main() -> None:
 
     def run_dev():
         return mp.find_matches_packed(blocks, lengths, neighbors=neighbors,
-                                      max_seq=16384, parser=parser)
+                                      max_seq=16384, parser=parser,
+                                      lazy=params.lazy,
+                                      stride=params.stride,
+                                      window=params.window)
 
     # block_until_ready returns early over the tunneled relay, so time a
     # dependent chain of K reps closed by a real scalar fetch, and subtract
