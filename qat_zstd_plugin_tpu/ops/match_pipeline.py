@@ -173,9 +173,14 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
     cand_len = jnp.where(worth, cand_len, 0)
     cand_off = jnp.where(worth, cand_off, 0)
 
-    # Un-sort: scatter back to position order via a second sort keyed on pos.
-    _, mlen, moff = jax.lax.sort(
-        (sp, cand_len, cand_off), dimension=1, is_stable=False, num_keys=1)
+    # Un-sort: scatter back to position order via a second sort keyed on
+    # pos; (len, off) ride as one packed word (len <= 16 after the cost
+    # filter, off < 2^17) to shrink the sort payload.
+    packed_cand = (cand_len << 17) | cand_off
+    _, pc = jax.lax.sort((sp, packed_cand), dimension=1,
+                         is_stable=False, num_keys=1)
+    mlen = pc >> 17
+    moff = pc & ((1 << 17) - 1)
     if nseg > 1:
         mlen = mlen.reshape(B, N // stride)
         moff = moff.reshape(B, N // stride)
@@ -270,29 +275,31 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
         # sequences — compact per segment (small fast sorts), then merge
         # the per-segment prefixes with one much smaller global sort.
         # Position order is preserved because segments tile the block.
-        assert N % window == 0
+        assert N % window == 0 and window <= 32768, window
         nseg = N // window
         capseg = window // MIN_MATCH
         lw = jnp.arange(window, dtype=jnp.int32)[None, :]
         ch = chosen.reshape(B * nseg, window)
         keyl = jnp.where(ch, jnp.broadcast_to(lw, ch.shape), BIG)
-        gidx = idx.reshape(B * nseg, window)
-        _, sl2, so2, sg2 = jax.lax.sort(
-            (keyl, mlen.reshape(B * nseg, window),
-             moff.reshape(B * nseg, window), gidx), dimension=1,
-            is_stable=False, num_keys=1)
-        sl2 = sl2[:, :capseg].reshape(B, nseg * capseg)
-        so2 = so2[:, :capseg].reshape(B, nseg * capseg)
-        sg2 = sg2[:, :capseg].reshape(B, nseg * capseg)
+        # (ml, off) packed into one word: ml <= 65535 (16b), off < window
+        # <= 32768 (15b). Global index reconstructs as keyl + seg_start.
+        pml = ((mlen.reshape(B * nseg, window) << 15)
+               | moff.reshape(B * nseg, window))
+        sk2, sp2 = jax.lax.sort((keyl, pml), dimension=1,
+                                is_stable=False, num_keys=1)
+        seg_start = ((jnp.arange(B * nseg, dtype=jnp.int32) % nseg)
+                     * window)[:, None]
+        sg2 = (sk2 + seg_start)[:, :capseg].reshape(B, nseg * capseg)
+        sp2 = sp2[:, :capseg].reshape(B, nseg * capseg)
         seg_valid = (jnp.arange(capseg, dtype=jnp.int32)[None, :]
                      < ch.sum(axis=1).astype(jnp.int32)[:, None])
         seg_valid = seg_valid.reshape(B, nseg * capseg)
         gkey = jnp.where(seg_valid, sg2, BIG)
-        t2, l2, o2 = jax.lax.sort((gkey, sl2, so2), dimension=1,
-                                  is_stable=False, num_keys=1)
+        t2, p2 = jax.lax.sort((gkey, sp2), dimension=1,
+                              is_stable=False, num_keys=1)
         t2 = t2[:, :max_seq]
-        l2 = l2[:, :max_seq]
-        o2 = o2[:, :max_seq]
+        l2 = p2[:, :max_seq] >> 15
+        o2 = p2[:, :max_seq] & ((1 << 15) - 1)
     else:
         key = jnp.where(chosen, idx, BIG)
         t2, l2, o2 = jax.lax.sort((key, mlen, moff), dimension=1,
