@@ -32,7 +32,8 @@ def make_mesh(devices=None) -> Mesh:
 
 
 def sharded_pipeline(mesh: Mesh, neighbors: int = 4, max_seq: int = 16384,
-                     parser: str = "scan"):
+                     parser: str = "scan", lazy: bool = False,
+                     window: int = 1 << 30):
     """jit'd batched match pipeline sharded over the mesh's block axis.
 
     Input batch dimension must be divisible by mesh size; each chip runs the
@@ -56,7 +57,7 @@ def sharded_pipeline(mesh: Mesh, neighbors: int = 4, max_seq: int = 16384,
     def run(blocks, lengths):
         return match_pipeline.find_matches_batch(
             blocks, lengths, neighbors=neighbors, max_seq=max_seq,
-            parser=parser)
+            parser=parser, lazy=lazy)
 
     return run
 
