@@ -891,6 +891,7 @@ bool encode_sequences_section(const uint32_t* lit_lens,
                               bool allow_custom,
                               std::vector<uint8_t>* out) {
   out->clear();
+  out->reserve(nseq * 3 + 64);
   size_t n = nseq;
   if (n < 128) {
     out->push_back(static_cast<uint8_t>(n));

@@ -142,7 +142,20 @@ def run(argv=None) -> int:
                     help="accepted for parity; explicit offsets always")
     ap.add_argument("-L", "--loops", type=int, default=1)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--sweep", action="store_true",
+                    help="run the full L1-L12 level sweep (the reference "
+                         "benchmark's per-level loop)")
     args = ap.parse_args(argv)
+
+    if args.sweep:
+        rc = 0
+        for lvl in range(1, 13):
+            print(f"=== level {lvl} ===")
+            sub = [args.file, "-t", str(args.threads), "-l", str(lvl),
+                   "-c", str(args.chunk_kb), "-m", str(args.mode),
+                   "-L", str(args.loops), "--batch", str(args.batch)]
+            rc |= run(sub)
+        return rc
 
     data = open(args.file, "rb").read()
     hist = Histogram()

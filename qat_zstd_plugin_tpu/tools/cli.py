@@ -27,6 +27,10 @@ def run(argv=None) -> int:
                     help="on-TPU sequence-section entropy (hybrid mode)")
     args = ap.parse_args(argv)
 
+    import os
+    if not os.path.exists(args.input):
+        print(f"qz: {args.input}: no such file", file=sys.stderr)
+        return 2
     data = open(args.input, "rb").read()
     import qat_zstd_plugin_tpu as qz
 
