@@ -204,7 +204,10 @@ def encode_literals(data: np.ndarray, table: HuffmanTable,
         return _encode_stream(data, table)
     n = len(data)
     seg = (n + 3) // 4
-    assert n > 3 * seg - 3 and seg >= 1
+    if n - 3 * seg < 1:
+        # 4th stream would be empty/negative (n in {0..3, 5, 6, 9}):
+        # format-invalid; callers must use the single-stream layout.
+        raise ValueError(f"input too small for 4-stream layout: {n}")
     parts = [data[0:seg], data[seg:2 * seg], data[2 * seg:3 * seg],
              data[3 * seg:n]]
     streams = [_encode_stream(p, table) for p in parts]

@@ -29,6 +29,17 @@ MODE_FSE = 2
 # MODE_REPEAT = 3 (cross-block table reuse; not emitted yet)
 
 
+def nbseq_header(n: int) -> bytes:
+    """Number_of_Sequences varint (RFC 8878 §3.1.1.3.2) — the single
+    definition used by both the host encoder and the device-entropy
+    section wrapper (the C++ runtime mirrors it)."""
+    if n < 128:
+        return bytes([n])
+    if n < 0x7F00:
+        return bytes([(n >> 8) + 128, n & 0xFF])
+    return bytes([0xFF]) + (n - 0x7F00).to_bytes(2, "little")
+
+
 class _RleState:
     """Degenerate FSE state machine (accuracy log 0): emits no bits."""
 
@@ -133,16 +144,7 @@ def encode_sequences(lit_lengths: np.ndarray, offsets: np.ndarray,
     (>=1); match_lengths[i]: match length (>=3).
     """
     n = len(lit_lengths)
-    out = bytearray()
-    # Number_of_Sequences header.
-    if n < 128:
-        out.append(n)
-    elif n < 0x7F00:
-        out.append((n >> 8) + 128)
-        out.append(n & 0xFF)
-    else:
-        out.append(0xFF)
-        out += (n - 0x7F00).to_bytes(2, "little")
+    out = bytearray(nbseq_header(n))
     if n == 0:
         return bytes(out)
 

@@ -54,7 +54,7 @@ def _read_huffman_weights(data: bytes) -> tuple[list[int], int]:
         ws = []
         # Two interleaved states, alternating outputs, until bits run dry.
         states = [s1, s2]
-        while True:
+        while len(ws) <= 255:  # alphabet bound: weights cover <= 255 syms
             for k in (0, 1):
                 st = states[k]
                 ws.append(int(table.symbol[st]))
@@ -69,6 +69,8 @@ def _read_huffman_weights(data: bytes) -> tuple[list[int], int]:
             else:
                 continue
             break
+        else:
+            raise DecodeError("huffman weight stream does not terminate")
         consumed = 1 + head
     total = sum((1 << (w - 1)) for w in ws if w > 0)
     if total == 0:

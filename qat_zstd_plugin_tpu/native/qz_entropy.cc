@@ -1268,8 +1268,10 @@ size_t qz_extend_sequences(const uint8_t* block, size_t n,
     ++out;
     cursor = new_start + new_ml;
   }
-  // Tail bytes (including literals freed by dropped trailing sequences).
-  *last_literals = static_cast<uint32_t>(n - cursor);
+  // Tail bytes: [cursor, n) plus literals freed by trailing dropped
+  // sequences (those bytes sit before cursor but after the last emitted
+  // sequence, contiguous with the tail).
+  *last_literals = static_cast<uint32_t>(n - cursor + pending_lit);
   return out;
 }
 

@@ -268,6 +268,10 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
     nseq (B,), last_literals (B,), overflow (B,) bool.
     """
     B, N = chosen.shape
+    # A block of N bytes yields < N sequences, so cap the working width and
+    # zero-pad the outputs back up to the caller's static max_seq.
+    req_seq = max_seq
+    max_seq = min(max_seq, N)
     idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
     if window < N:
         # Segmented compaction: the greedy parse spaces chosen positions
@@ -345,6 +349,11 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
         ml = jnp.where(valid_m, ml, 0)
         nseq = nseq_m
 
+    if req_seq > max_seq:
+        pad = req_seq - max_seq
+        lit = jnp.pad(lit, ((0, 0), (0, pad)))
+        off = jnp.pad(off, ((0, 0), (0, pad)))
+        ml = jnp.pad(ml, ((0, 0), (0, pad)))
     return {
         "lit_len": lit, "offset": off, "match_len": ml,
         "nseq": jnp.minimum(nseq, max_seq), "last_literals": last_literals,
@@ -363,10 +372,11 @@ def _parse(mlen: jnp.ndarray, parser: str, lazy: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("neighbors", "max_seq",
-                                             "parser", "lazy"))
+                                             "parser", "lazy", "window"))
 def find_matches_batch(blocks: jnp.ndarray, lengths: jnp.ndarray,
                        neighbors: int = 4, max_seq: int = 16384,
-                       parser: str = "scan", lazy: bool = False):
+                       parser: str = "scan", lazy: bool = False,
+                       window: int = 1 << 30):
     """Full device pipeline in one jit: candidates -> parse -> compaction.
 
     Single-program form used by the sharded/pjit path. For large N prefer
@@ -374,9 +384,9 @@ def find_matches_batch(blocks: jnp.ndarray, lengths: jnp.ndarray,
     compile time up by an order of magnitude with zero steady-state gain
     (each stage is HBM-bound through a sort anyway).
     """
-    mlen, moff = candidates(blocks, lengths, neighbors)
+    mlen, moff = candidates(blocks, lengths, neighbors, window=window)
     chosen = _parse(mlen, parser, lazy)
-    return compact(chosen, mlen, moff, lengths, max_seq)
+    return compact(chosen, mlen, moff, lengths, max_seq, window=window)
 
 
 @functools.partial(jax.jit, static_argnames=("neighbors", "stride",

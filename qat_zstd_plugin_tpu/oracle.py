@@ -73,12 +73,19 @@ def decompress(frame: bytes, expected_size: int | None = None) -> bytes:
             cap = int(sz)
     else:
         cap = expected_size
-    dst = ctypes.create_string_buffer(max(cap, 1))
-    ret = lib.ZSTD_decompress(dst, cap, frame, len(frame))
-    if lib.ZSTD_isError(ret):
-        raise ZstdOracleError(
-            f"oracle decode failed: {lib.ZSTD_getErrorName(ret).decode()}")
-    return dst.raw[:ret]
+    # Unknown-content-size frames (no FCS) need a growing guess buffer:
+    # retry on dstSize_tooSmall up to 1 GiB.
+    while True:
+        dst = ctypes.create_string_buffer(max(cap, 1))
+        ret = lib.ZSTD_decompress(dst, cap, frame, len(frame))
+        if not lib.ZSTD_isError(ret):
+            return dst.raw[:ret]
+        name = lib.ZSTD_getErrorName(ret).decode()
+        if "too small" in name and cap < (1 << 30) \
+                and expected_size is None:
+            cap *= 8
+            continue
+        raise ZstdOracleError(f"oracle decode failed: {name}")
 
 
 def compress(data: bytes, level: int = 1) -> bytes:

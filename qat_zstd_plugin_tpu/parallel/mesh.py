@@ -57,7 +57,7 @@ def sharded_pipeline(mesh: Mesh, neighbors: int = 4, max_seq: int = 16384,
     def run(blocks, lengths):
         return match_pipeline.find_matches_batch(
             blocks, lengths, neighbors=neighbors, max_seq=max_seq,
-            parser=parser, lazy=lazy)
+            parser=parser, lazy=lazy, window=window)
 
     return run
 

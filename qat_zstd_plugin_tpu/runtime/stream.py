@@ -22,16 +22,81 @@ from .tpu_codec import TpuCodec
 
 
 class _PyXxhStream:
-    """Pure-python fallback incremental checksum (buffers; fine for tests)."""
+    """Pure-python incremental XXH64 (O(1) memory: 4 accumulators plus a
+    <32-byte tail, mirroring the native QzXxhState)."""
+
+    _P1 = 11400714785074694791
+    _P2 = 14029467366897019727
+    _M = (1 << 64) - 1
 
     def __init__(self) -> None:
-        self._parts: list[bytes] = []
+        p1, p2 = self._P1, self._P2
+        self._acc = [(p1 + p2) & self._M, p2, 0, (-p1) & self._M]
+        self._tail = b""
+        self._total = 0
+
+    @classmethod
+    def _round(cls, acc: int, lane: int) -> int:
+        acc = (acc + lane * cls._P2) & cls._M
+        acc = ((acc << 31) | (acc >> 33)) & cls._M
+        return (acc * cls._P1) & cls._M
 
     def update(self, data) -> None:
-        self._parts.append(bytes(data))
+        buf = self._tail + bytes(data)
+        self._total += len(bytes(data))
+        nstripes = len(buf) // 32
+        for s in range(nstripes):
+            base = s * 32
+            for i in range(4):
+                lane = int.from_bytes(buf[base + 8 * i:base + 8 * i + 8],
+                                      "little")
+                self._acc[i] = self._round(self._acc[i], lane)
+        self._tail = buf[nstripes * 32:]
 
     def digest(self) -> int:
-        return py_xxh64(b"".join(self._parts), 0)
+        # Reconstruct via the one-shot golden implementation over an
+        # equivalent message: feed the accumulators through the same
+        # finalization path as format/xxhash.xxh64.
+        from ..format.xxhash import xxh64 as _one_shot  # noqa: F401
+        M = self._M
+        if self._total >= 32:
+            a = self._acc
+            rotl = lambda x, r: ((x << r) | (x >> (64 - r))) & M  # noqa: E731
+            h = (rotl(a[0], 1) + rotl(a[1], 7) + rotl(a[2], 12)
+                 + rotl(a[3], 18)) & M
+            P1, P2 = self._P1, self._P2
+            P4 = 9650029242287828579
+            for i in range(4):
+                v = self._round(0, a[i])
+                h = ((h ^ v) * P1 + P4) & M
+        else:
+            h = (2870177450012600261) & M  # seed 0 + P5
+        h = (h + self._total) & M
+        p = 0
+        t = self._tail
+        P1, P2 = self._P1, self._P2
+        P3 = 1609587929392839161
+        P4 = 9650029242287828579
+        P5 = 2870177450012600261
+        rotl = lambda x, r: ((x << r) | (x >> (64 - r))) & M  # noqa: E731
+        while p + 8 <= len(t):
+            k = self._round(0, int.from_bytes(t[p:p + 8], "little"))
+            h = (rotl(h ^ k, 27) * P1 + P4) & M
+            p += 8
+        if p + 4 <= len(t):
+            h = (h ^ (int.from_bytes(t[p:p + 4], "little") * P1)) & M
+            h = (rotl(h, 23) * P2 + P3) & M
+            p += 4
+        while p < len(t):
+            h = (h ^ (t[p] * P5)) & M
+            h = (rotl(h, 11) * P1) & M
+            p += 1
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        h ^= h >> 32
+        return h
 
 
 def _stream_frame_header(window_log: int, checksum: bool) -> bytes:

@@ -168,13 +168,6 @@ class TpuCodec:
                                   jnp.asarray(lengths_np))
         return b, packed
 
-    @staticmethod
-    def _nbseq_header(n: int) -> bytes:
-        if n < 128:
-            return bytes([n])
-        if n < 0x7F00:
-            return bytes([(n >> 8) + 128, n & 0xFF])
-        return bytes([0xFF]) + (n - 0x7F00).to_bytes(2, "little")
 
     def collect_batch(self, handle):
         """Block on a submitted batch. Returns a list of
@@ -206,7 +199,8 @@ class TpuCodec:
                 if ns == 0:
                     res.append((seqs, None))  # host encodes the 0-seq case
                     continue
-                sec = (self._nbseq_header(ns) + b"\x00"
+                from ..format.sequences import nbseq_header
+                sec = (nbseq_header(ns) + b"\x00"
                        + bitpack.backward_stream_bytes(words[i],
                                                        int(bits[i])))
                 res.append((seqs, sec))
@@ -256,13 +250,20 @@ class TpuCodec:
             blk = buf[i * bs:min((i + 1) * bs, n)]
             if len(blk) < 64:
                 return None
-            if dev_section is not None and seqs is not None and use_native:
-                # Hybrid entropy: the device already encoded the sequence
-                # section; host adds the literals section only. No
-                # extension — the section is final.
-                return native.block_body_external_seqsec(
-                    blk, seqs.lit_lengths, seqs.match_lengths,
-                    seqs.last_literals, dev_section, self.params.huffman)
+            if dev_section is not None:
+                if seqs is not None and use_native:
+                    # Hybrid entropy: the device already encoded the
+                    # sequence section; host adds the literals section
+                    # only. No extension — the section is final.
+                    return native.block_body_external_seqsec(
+                        blk, seqs.lit_lengths, seqs.match_lengths,
+                        seqs.last_literals, dev_section,
+                        self.params.huffman)
+                # No native runtime: the sequences carry placeholder
+                # offsets (they live in the device section), so the
+                # Python entropy path must NOT encode them — re-match
+                # on CPU instead.
+                seqs = None
             if seqs is not None and use_native and seqs.nseq:
                 # Re-extend the device's capped matches to true lengths.
                 ll, of, ml, lastlit = native.extend_sequences(

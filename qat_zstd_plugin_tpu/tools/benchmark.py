@@ -97,7 +97,10 @@ def _worker(tid: int, args, data: bytes, hist: Histogram,
             compress = lambda c: oracle.compress(c, args.level)  # noqa: E731
         compress(chunks[0])  # warm-up / compile outside the timed phase
 
-        barrier1.wait()
+        try:
+            barrier1.wait()
+        except threading.BrokenBarrierError:
+            raise RuntimeError("aborted: a peer thread failed")
         frames = []
         t0 = time.perf_counter()
         for _ in range(args.loops):
@@ -115,15 +118,23 @@ def _worker(tid: int, args, data: bytes, hist: Histogram,
         ok = all(oracle.decompress(f, len(c)) == c
                  for f, c in zip(frames, chunks))
         res.verify_ok = ok
-        barrier2.wait()
+        try:
+            barrier2.wait()
+        except threading.BrokenBarrierError:
+            raise RuntimeError("aborted: a peer thread failed")
         t0 = time.perf_counter()
         for _ in range(args.loops):
             for f, c in zip(frames, chunks):
                 oracle.decompress(f, len(c))
         res.decomp_mbs = len(data) * args.loops / (
             time.perf_counter() - t0) / 1e6
-    except Exception as e:  # pragma: no cover
+    except Exception as e:
         res.errors.append(repr(e))
+        # Release peers blocked on the phase barriers (a failed thread
+        # would otherwise deadlock the whole run); BrokenBarrierError in
+        # the survivors is absorbed below.
+        barrier1.abort()
+        barrier2.abort()
     results[tid] = res
 
 
