@@ -67,6 +67,11 @@ def _load():
     lib.qz_extend_sequences.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+    lib.qz_compress_blocks_mt.restype = None
+    lib.qz_compress_blocks_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
     lib.qz_xxh64_state_size.restype = ctypes.c_size_t
     lib.qz_xxh64_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.qz_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -133,6 +138,34 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
     if n == 0:
         return None
     return dst[:n].tobytes()
+
+
+def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,
+                       lazy: bool, allow_custom: bool = True,
+                       try_huffman: bool = True, nthreads: int = 0
+                       ) -> list[bytes | None]:
+    """Match + extend + entropy for every block of `buf` in one native
+    call with an internal thread pool. None entries => emit raw."""
+    import os
+    lib = _load()
+    assert lib is not None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    n = len(buf)
+    nblocks = max(1, -(-n // block_size))
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    arena = np.empty(nblocks * block_size, np.uint8)
+    sizes = np.zeros(nblocks, np.uint32)
+    lib.qz_compress_blocks_mt(
+        buf.ctypes.data, n, block_size, chain_depth, int(lazy),
+        int(allow_custom), int(try_huffman), nthreads,
+        arena.ctypes.data, sizes.ctypes.data)
+    out: list[bytes | None] = []
+    for i in range(nblocks):
+        sz = int(sizes[i])
+        out.append(arena[i * block_size:i * block_size + sz].tobytes()
+                   if sz else None)
+    return out
 
 
 def block_body_external_seqsec(block: np.ndarray, lit_lens: np.ndarray,

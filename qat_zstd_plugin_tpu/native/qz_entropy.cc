@@ -14,6 +14,8 @@
 // C ABI at the bottom; driven from Python via ctypes (native_bridge.py).
 
 #include <algorithm>
+#include <atomic>
+#include <thread>
 #include <cmath>
 #include <cstddef>
 #include <cstdint>
@@ -799,20 +801,22 @@ struct TablePlan {
   double bit_cost = 0;
 };
 
-// Cached predefined encode tables.
+// Cached predefined encode tables (magic-static: thread-safe init, the
+// MT block compressor hits this from every worker).
 static const FseEncodeTable& predef_table(int kind) {
-  static FseEncodeTable ll, of, ml;
-  static bool init_done = false;
-  if (!init_done) {
-    build_encode_table(std::vector<int>(LL_DEFAULT_DIST, LL_DEFAULT_DIST + 36),
-                       6, &ll);
-    build_encode_table(std::vector<int>(OF_DEFAULT_DIST, OF_DEFAULT_DIST + 29),
-                       5, &of);
-    build_encode_table(std::vector<int>(ML_DEFAULT_DIST, ML_DEFAULT_DIST + 53),
-                       6, &ml);
-    init_done = true;
-  }
-  return kind == 0 ? ll : (kind == 1 ? of : ml);
+  struct Tables {
+    FseEncodeTable ll, of, ml;
+    Tables() {
+      build_encode_table(
+          std::vector<int>(LL_DEFAULT_DIST, LL_DEFAULT_DIST + 36), 6, &ll);
+      build_encode_table(
+          std::vector<int>(OF_DEFAULT_DIST, OF_DEFAULT_DIST + 29), 5, &of);
+      build_encode_table(
+          std::vector<int>(ML_DEFAULT_DIST, ML_DEFAULT_DIST + 53), 6, &ml);
+    }
+  };
+  static const Tables t;
+  return kind == 0 ? t.ll : (kind == 1 ? t.of : t.ml);
 }
 
 // Mode selection per code stream (mirrors format/sequences.py _plan_table).
@@ -1321,6 +1325,58 @@ size_t qz_find_sequences(const uint8_t* block, size_t n, int chain_depth,
     match_lens[i] = seqs[i].match_len;
   }
   return seqs.size();
+}
+
+// Whole-buffer software compression with an internal thread pool: match +
+// extend + entropy for every block in one call (the reference's
+// thread-per-CCtx benchmark concurrency, test/benchmark.c:514-520, moved
+// inside the runtime so Python pays one FFI crossing per buffer).
+// dst is an arena of nblocks * block_size bytes; body_sizes[i] == 0 means
+// "emit raw" for that block.
+void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
+                           int chain_depth, int lazy, int allow_custom,
+                           int try_huffman, int nthreads, uint8_t* dst,
+                           uint32_t* body_sizes) {
+  size_t nblocks = n == 0 ? 0 : (n + block_size - 1) / block_size;
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    std::vector<qz::Sequence> seqs;
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nblocks) return;
+      size_t off = i * block_size;
+      size_t len = std::min(block_size, n - off);
+      body_sizes[i] = 0;
+      if (len < 64) continue;
+      uint32_t last_lit = 0;
+      qz::find_sequences(src + off, len, chain_depth, lazy != 0, &seqs,
+                         &last_lit);
+      std::vector<uint32_t> ll(seqs.size()), of(seqs.size()),
+          ml(seqs.size());
+      for (size_t s = 0; s < seqs.size(); ++s) {
+        ll[s] = seqs[s].lit_len;
+        of[s] = seqs[s].offset;
+        ml[s] = seqs[s].match_len;
+      }
+      std::vector<uint8_t> body;
+      if (!qz::encode_block_body(src + off, len, ll.data(), of.data(),
+                                 ml.data(), seqs.size(), last_lit,
+                                 allow_custom != 0, try_huffman != 0,
+                                 &body))
+        continue;
+      if (body.size() >= len || body.size() > block_size) continue;
+      std::memcpy(dst + i * block_size, body.data(), body.size());
+      body_sizes[i] = static_cast<uint32_t>(body.size());
+    }
+  };
+  if (nthreads <= 1 || nblocks <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  int nt = std::min<size_t>(nthreads, nblocks);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

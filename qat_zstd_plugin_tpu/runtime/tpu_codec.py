@@ -230,6 +230,16 @@ class TpuCodec:
         bs = self.block_size
         nblocks = max(1, -(-n // bs))
 
+        if not self.use_device and native.available() and not validate:
+            # Pure-software mode: one native call does match + entropy for
+            # every block with an internal thread pool (the reference's
+            # thread-per-CCtx concurrency moved inside the runtime).
+            gp = golden_codec.level_params(self.level)
+            return native.compress_blocks_mt(
+                buf, bs, gp.chain_depth, gp.lazy,
+                self.params.custom_tables and gp.custom_tables,
+                self.params.huffman)
+
         # Full blocks ride the device in batches; the short tail block (and
         # overflow blocks) take the CPU fallback, mirroring per-block
         # producer fallback semantics. Dispatch is pipelined: up to
