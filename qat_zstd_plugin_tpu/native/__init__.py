@@ -35,12 +35,15 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    stale = (not os.path.exists(_SO)
-             or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    # QZ_NATIVE_LIB points at an alternate build (e.g. the ASan/UBSan
+    # library from build.sh asan, loaded under LD_PRELOAD=libasan).
+    so = os.environ.get("QZ_NATIVE_LIB", _SO)
+    stale = so == _SO and (not os.path.exists(_SO)
+                           or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
     if stale and not _build():
         return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
         return None
     lib.qz_xxh64.restype = ctypes.c_uint64

@@ -2,9 +2,29 @@
 # Build the native entropy runtime (libqz_entropy.so).
 # Hardened flags mirror the reference's production CFLAGS
 # (src/Makefile:66-71: stack protector, -fwrapv, PIC).
+#
+# Usage: build.sh [asan]
+#   asan — sanitizer build (libqz_entropy_asan.so, ASan+UBSan), the
+#   analog of the reference fuzz build's -fsanitize flags
+#   (test/fuzzing/Makefile:58). Run tests against it via
+#   QZ_NATIVE_SANITIZE=1 (see tests/test_sanitize.py).
+#
+# The .so is written to a temp file and renamed into place so a killed
+# build can never leave a half-written library that a later import loads.
 set -e
 cd "$(dirname "$0")"
-g++ -O3 -march=native -std=c++17 -shared -fPIC \
-    -fstack-protector-strong -fwrapv -Wall -Wextra -Wno-unused-parameter \
-    qz_entropy.cc -o libqz_entropy.so
-echo "built $(pwd)/libqz_entropy.so"
+ARCH_FLAGS="${QZ_NATIVE_CFLAGS:--O3 -march=native}"
+if [ "$1" = "asan" ]; then
+    OUT=libqz_entropy_asan.so
+    g++ -O1 -g -std=c++17 -shared -fPIC \
+        -fsanitize=address,undefined -fno-sanitize-recover=undefined \
+        -fno-omit-frame-pointer -fwrapv -Wall -Wextra -Wno-unused-parameter \
+        qz_entropy.cc -o "$OUT.tmp.$$"
+else
+    OUT=libqz_entropy.so
+    g++ $ARCH_FLAGS -std=c++17 -shared -fPIC \
+        -fstack-protector-strong -fwrapv -Wall -Wextra -Wno-unused-parameter \
+        qz_entropy.cc -o "$OUT.tmp.$$"
+fi
+mv -f "$OUT.tmp.$$" "$OUT"
+echo "built $(pwd)/$OUT"

@@ -29,7 +29,8 @@ from ..format import frame, tables
 from ..format.frame import BlockSequences
 from ..golden import codec as golden_codec
 from ..golden import matcher as golden_matcher
-from ..utils import logging
+from ..utils import config, logging
+from ..utils.profiling import BlockStats, Timer
 from . import device
 
 BLOCK = tables.BLOCK_SIZE_MAX
@@ -100,20 +101,28 @@ class TpuCodec:
     """Batched block compressor over a single device (mesh path lives in
     parallel/)."""
 
-    def __init__(self, level: int = 1, batch: int = 8,
-                 block_size: int = BLOCK, max_seq: int = 16384,
-                 parser: str | None = None, use_device: bool = True,
+    def __init__(self, level: int = 1, batch: int | None = None,
+                 block_size: int | None = None, max_seq: int | None = None,
+                 parser: str | None = None, use_device: bool | None = None,
                  device_entropy: bool = False):
         if level not in TPU_LEVEL_TABLE:
             raise ValueError(
                 f"unsupported level {level}: supported range 1..12")
+        cfg = config.get()  # process defaults (QZ_* env); kwargs win
         self.level = level
         self.params = TPU_LEVEL_TABLE[level]
-        self.batch = batch
-        self.block_size = block_size
-        self.max_seq = max_seq
+        self.batch = cfg.batch if batch is None else batch
+        self.block_size = cfg.block_size if block_size is None else block_size
+        self.max_seq = cfg.max_seq if max_seq is None else max_seq
         self.parser = parser
+        if use_device is None:
+            # QZ_FORCE_BACKEND: "" = auto (device when present), "cpu" =
+            # software only, "tpu" = require the device path — the
+            # config-section/driver-flavor knob (src/qatseqprod.c:481-496).
+            use_device = cfg.force_backend != "cpu"
         self.use_device = use_device
+        self.checksum_default = cfg.checksum
+        self.stats = BlockStats()
         # device_entropy: the accelerator also emits the FSE sequence
         # sections (predefined tables, no host extension) — the hybrid
         # entropy mode; off by default in favour of best ratio.
@@ -215,8 +224,10 @@ class TpuCodec:
         return [s for s, _ in
                 self.collect_batch(self.submit_batch(blocks_np, lengths_np))]
 
-    def compress(self, data: bytes | np.ndarray, checksum: bool = True,
+    def compress(self, data: bytes | np.ndarray, checksum: bool | None = None,
                  validate: bool = False) -> bytes:
+        if checksum is None:
+            checksum = self.checksum_default
         buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
             data, np.ndarray) else np.ascontiguousarray(data, np.uint8)
         bodies = self.compress_bodies(buf, validate=validate)
@@ -235,10 +246,16 @@ class TpuCodec:
             # every block with an internal thread pool (the reference's
             # thread-per-CCtx concurrency moved inside the runtime).
             gp = golden_codec.level_params(self.level)
-            return native.compress_blocks_mt(
-                buf, bs, gp.chain_depth, gp.lazy,
-                self.params.custom_tables and gp.custom_tables,
-                self.params.huffman)
+            with Timer() as tm:
+                bodies = native.compress_blocks_mt(
+                    buf, bs, gp.chain_depth, gp.lazy,
+                    self.params.custom_tables and gp.custom_tables,
+                    self.params.huffman)
+            per = tm.elapsed / max(1, len(bodies))
+            for i, body in enumerate(bodies):
+                self.stats.record(min(n - i * bs, bs),
+                                  len(body) if body else None, per)
+            return bodies
 
         # Full blocks ride the device in batches; the short tail block (and
         # overflow blocks) take the CPU fallback, mirroring per-block
@@ -257,6 +274,16 @@ class TpuCodec:
                          dev_section: bytes | None = None) -> bytes | None:
             """Fallback matching (if needed) + extension + entropy for one
             block. Runs in a worker thread; native C calls drop the GIL."""
+            with Timer() as tm:
+                body = _finish_block(i, seqs, dev_section)
+            blk_len = min(n - i * bs, bs)
+            self.stats.record(blk_len, len(body) if body else None,
+                              tm.elapsed,
+                              fallback=seqs is None and i in full_ids)
+            return body
+
+        def _finish_block(i: int, seqs: BlockSequences | None,
+                          dev_section: bytes | None = None) -> bytes | None:
             blk = buf[i * bs:min((i + 1) * bs, n)]
             if len(blk) < 64:
                 return None

@@ -59,6 +59,7 @@ def get() -> Config:
     return _config
 
 
-def set(cfg: Config) -> None:  # noqa: A001 - mirrors a tiny flag registry
+def set(cfg: Config | None) -> None:  # noqa: A001 - tiny flag registry
+    """Install process defaults; None resets to lazy re-read of the env."""
     global _config
     _config = cfg

@@ -30,6 +30,43 @@ def test_config_env(monkeypatch):
     assert cfg.batch == 4 and cfg.checksum is False
 
 
+def test_config_drives_codec_defaults(monkeypatch):
+    """QZ_* env knobs must actually change codec behavior (the config
+    surface is live, not decorative)."""
+    monkeypatch.setenv("QZ_BATCH", "3")
+    monkeypatch.setenv("QZ_BLOCK_SIZE", "16384")
+    monkeypatch.setenv("QZ_MAX_SEQ", "2048")
+    monkeypatch.setenv("QZ_CHECKSUM", "0")
+    monkeypatch.setenv("QZ_FORCE_BACKEND", "cpu")
+    qzconfig.set(qzconfig.Config.from_env())
+    try:
+        c = TpuCodec(level=1)
+        assert c.batch == 3
+        assert c.block_size == 16384
+        assert c.max_seq == 2048
+        assert c.use_device is False
+        data = open("/root/repo/SURVEY.md", "rb").read()[:40000]
+        f = c.compress(data)
+        # QZ_CHECKSUM=0: frame header must not carry a content checksum.
+        assert not (f[4] & 0x04)
+        assert oracle.roundtrip_ok(f, data)
+        # Explicit constructor args still win over config.
+        c2 = TpuCodec(level=1, batch=9, block_size=32768)
+        assert c2.batch == 9 and c2.block_size == 32768
+    finally:
+        qzconfig.set(None)
+
+
+def test_codec_feeds_block_stats():
+    data = open("/root/repo/SURVEY.md", "rb").read()
+    c = TpuCodec(level=1, batch=2, block_size=16384, use_device=False)
+    c.compress(data)
+    s = c.stats.summary()
+    assert s["blocks"] == -(-len(data) // 16384)
+    assert 0 < s["ratio"] < 1.0
+    assert s["throughput_mbs"] > 0
+
+
 def test_device_lifecycle_parity():
     st = qz.start_device()
     assert st in (qz.Status.OK, qz.Status.STARTED)
