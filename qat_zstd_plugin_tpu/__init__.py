@@ -52,10 +52,15 @@ class SeqProdState:
     buffer reuse, src/qatseqprod.c:1211-1220) and the failure counter."""
 
     def __init__(self, level: int = 1, batch: int = 8,
-                 block_size: int = BLOCK_SIZE_MAX):
+                 block_size: int = BLOCK_SIZE_MAX,
+                 use_device: bool = False):
         self.level = level
-        self.codec = TpuCodec(level=level, batch=batch,
-                              block_size=block_size)
+        # use_device=True routes producer blocks through the TPU match
+        # pipeline (batch=1 per call — the producer ABI is per-block);
+        # False uses the native CPU matcher (the soft path).
+        self.use_device = use_device
+        self.codec = TpuCodec(level=level, batch=1 if use_device else batch,
+                              block_size=block_size, use_device=use_device)
         self.freed = False
 
 
@@ -88,19 +93,59 @@ def sequence_producer(state: SeqProdState, block: bytes | np.ndarray,
     try:
         from . import native
         from .golden import codec as golden_codec
-        if native.available():
-            gp = golden_codec.level_params(state.level)
-            ll, of, ml, lastlit = native.find_sequences(
-                buf, gp.chain_depth, gp.lazy)
-            seqs = BlockSequences(ll, of, ml, lastlit)
-        else:
-            seqs = golden_codec.compress_block_sequences(buf, state.level)
+        seqs = None
+        if state.use_device and n >= 64:
+            # TPU route: one-block batch through the device match pipeline
+            # (pad to the codec block shape; the pipeline masks by length),
+            # then native extension recovers full match lengths from the
+            # device's LCP-capped candidates.
+            pad = np.zeros(state.codec.block_size, np.uint8)
+            pad[:n] = buf
+            got = state.codec.produce_sequences(
+                pad[None, :], np.array([n], np.int32))[0]
+            if got is not None:
+                if native.available() and got.nseq:
+                    ll, of, ml, lastlit = native.extend_sequences(
+                        buf, got.lit_lengths, got.offsets,
+                        got.match_lengths, got.last_literals)
+                    seqs = BlockSequences(ll, of, ml, lastlit)
+                else:
+                    seqs = got
+        if seqs is None:
+            if native.available():
+                gp = golden_codec.level_params(state.level)
+                ll, of, ml, lastlit = native.find_sequences(
+                    buf, gp.chain_depth, gp.lazy)
+                seqs = BlockSequences(ll, of, ml, lastlit)
+            else:
+                seqs = golden_codec.compress_block_sequences(
+                    buf, state.level)
     except Exception:
         return SEQUENCE_PRODUCER_ERROR
     out = [(int(o), int(l), int(m)) for l, o, m in
            zip(seqs.lit_lengths, seqs.offsets, seqs.match_lengths)]
     out.append((0, int(seqs.last_literals), 0))
     return out
+
+
+def compress_via_libzstd(data: bytes, level: int = 1,
+                         use_device: bool = False,
+                         search_repcodes: bool = False) -> bytes:
+    """The reference's exact deployment shape: stock libzstd compresses,
+    calling our registered sequence producer per block (fallback enabled),
+    as in test/test.c:103-116. use_device=True sends blocks through the
+    TPU match pipeline."""
+    from . import oracle
+    st = create_seqprod_state(level=level, use_device=use_device)
+    try:
+        def produce(block, lvl, wsize):
+            out = sequence_producer(st, block, window_size=wsize)
+            return None if out is SEQUENCE_PRODUCER_ERROR else out
+        return oracle.compress_with_producer(
+            data, produce, level=level, fallback=True,
+            search_repcodes=search_repcodes)
+    finally:
+        free_seqprod_state(st)
 
 
 def compress(data: bytes | np.ndarray, level: int = 1,

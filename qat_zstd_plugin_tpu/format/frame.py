@@ -207,23 +207,31 @@ def frame_header(content_size: int, window_log: int,
 def assemble_frame(data: bytes | np.ndarray,
                    block_bodies: list[bytes | None],
                    block_size: int = tables.BLOCK_SIZE_MAX,
-                   checksum: bool = True) -> bytes:
+                   checksum: bool = True,
+                   window_log: int | None = None) -> bytes:
     """Assemble a complete frame from per-block compressed bodies.
 
     block_bodies[i] is the Compressed_Block content for block i, or None to
     force Raw/RLE (the per-block fallback path, analog of the reference's
     producer-error -> libzstd-fallback, README.md:197-198).
+
+    window_log: the stream match window the bodies' offsets may reach
+    (cross-block context). None = offsets never cross block boundaries
+    (the reference's per-block independence, src/qatseqprod.c:941).
     """
     buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
         data, np.ndarray) else data
     n = len(buf)
     nblocks = max(1, -(-n // block_size))
     assert len(block_bodies) == nblocks
-    # Window covers one block: offsets never cross block boundaries
-    # (mirrors the reference's per-block independence, src/qatseqprod.c:941).
     wneed = max(min(n, block_size), 1)
-    window_log = (wneed - 1).bit_length() if wneed > 1 else 1
-    window_log = min(max(window_log, tables.MIN_WINDOW_LOG), 17)
+    wlog_need = (wneed - 1).bit_length() if wneed > 1 else 1
+    if window_log is not None:
+        # Never declare more window than the content could use.
+        wlog_need = min(max(window_log, wlog_need),
+                        max((n - 1).bit_length(), 1))
+    window_log = min(max(wlog_need, tables.MIN_WINDOW_LOG),
+                     tables.MAX_WINDOW_LOG)
     out = bytearray(frame_header(n, window_log, checksum))
     for i in range(nblocks):
         blk = buf[i * block_size:(i + 1) * block_size]

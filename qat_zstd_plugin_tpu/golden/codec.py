@@ -30,21 +30,26 @@ class LevelParams:
     lazy: bool
     custom_tables: bool = True
     huffman: bool = True
+    # Stream window (cross-block match context), zstd-informed ladder:
+    # offsets may reach this far back into earlier blocks' raw bytes.
+    # The reference's stateless blocks have no such history, but stock
+    # zstd does — parity on multi-block streams requires it.
+    window_log: int = 19
 
 
 LEVEL_TABLE: dict[int, LevelParams] = {
-    1: LevelParams(2, False),
-    2: LevelParams(4, False),
-    3: LevelParams(8, False),
-    4: LevelParams(16, False),
-    5: LevelParams(8, True),
-    6: LevelParams(16, True),
-    7: LevelParams(32, True),
-    8: LevelParams(48, True),
-    9: LevelParams(64, True),
-    10: LevelParams(96, True),
-    11: LevelParams(128, True),
-    12: LevelParams(256, True),
+    1: LevelParams(2, False, window_log=19),
+    2: LevelParams(4, False, window_log=20),
+    3: LevelParams(8, False, window_log=21),
+    4: LevelParams(16, False, window_log=21),
+    5: LevelParams(8, True, window_log=21),
+    6: LevelParams(16, True, window_log=21),
+    7: LevelParams(32, True, window_log=22),
+    8: LevelParams(48, True, window_log=22),
+    9: LevelParams(64, True, window_log=22),
+    10: LevelParams(96, True, window_log=22),
+    11: LevelParams(128, True, window_log=22),
+    12: LevelParams(256, True, window_log=22),
 }
 
 

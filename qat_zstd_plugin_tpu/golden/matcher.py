@@ -79,9 +79,12 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
             depth -= 1
         if best_len < MIN_MATCH:
             return 0, 0
-        # 3-byte matches only pay off at short offsets (cost model like
-        # zstd's fast strategy).
+        # Cost floor, mirroring the native matcher: short matches only
+        # pay for themselves near (a sequence costs ~10 bits +
+        # log2(offset) extra bits).
         if best_len == MIN_MATCH and best_off > 4096:
+            return 0, 0
+        if best_len < 6 and best_off > 65536:
             return 0, 0
         return best_len, best_off
 
@@ -110,6 +113,11 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
                     inserted_up_to = pos + 2
                 pos += 1
                 length, off = nlen, noff
+        # Backward extension into the pending literal run (native parity).
+        while pos > lit_start and pos >= off + 1 \
+                and data[pos - 1] == data[pos - 1 - off]:
+            pos -= 1
+            length += 1
         lls.append(pos - lit_start)
         offs.append(off)
         mls.append(length)
@@ -129,16 +137,19 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
         np.asarray(mls, dtype=np.int64), last_literals)
 
 
-def validate_sequences(block: np.ndarray, seqs: BlockSequences) -> None:
+def validate_sequences(block: np.ndarray, seqs: BlockSequences,
+                       ctx_len: int = 0) -> None:
     """Assert a sequence set is frame-legal AND byte-faithful for `block`.
 
     This is the guard the format layer deliberately omits (it trusts its
     producer, like libzstd trusts the reference's callback); every matcher
-    path runs through here in tests.
+    path runs through here in tests. `block` may carry ctx_len bytes of
+    window context at the front (cross-block offsets resolve into it);
+    the sequences cover only the trailing block.
     """
     data = np.asarray(block, dtype=np.uint8)
-    n = len(data)
-    pos = 0
+    n = len(data) - ctx_len
+    pos = ctx_len
     for i in range(seqs.nseq):
         ll = int(seqs.lit_lengths[i])
         off = int(seqs.offsets[i])
@@ -146,12 +157,12 @@ def validate_sequences(block: np.ndarray, seqs: BlockSequences) -> None:
         assert ll >= 0 and ml >= MIN_MATCH, (i, ll, ml)
         pos += ll
         assert 1 <= off <= pos, f"seq {i}: offset {off} at pos {pos}"
-        # Byte-faithns: overlap-aware compare.
+        # Byte-faithfulness: overlap-aware compare.
         for k in range(ml):
             assert data[pos + k] == data[pos + k - off], \
                 f"seq {i}: mismatch at +{k}"
         pos += ml
-    assert pos + seqs.last_literals == n, "span mismatch"
+    assert pos + seqs.last_literals == ctx_len + n, "span mismatch"
 
 
 def execute_sequences(block_len: int, literals: np.ndarray,

@@ -58,8 +58,8 @@ def _load():
         ctypes.c_void_p, ctypes.c_size_t]   # dst, cap
     lib.qz_find_sequences.restype = ctypes.c_size_t
     lib.qz_find_sequences.argtypes = [
-        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_size_t, ctypes.c_void_p]
     lib.qz_block_body_external_seqsec.restype = ctypes.c_size_t
     lib.qz_block_body_external_seqsec.argtypes = [
@@ -68,13 +68,13 @@ def _load():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t]
     lib.qz_extend_sequences.restype = ctypes.c_size_t
     lib.qz_extend_sequences.argtypes = [
-        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
     lib.qz_compress_blocks_mt.restype = None
     lib.qz_compress_blocks_mt.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
     lib.qz_xxh64_state_size.restype = ctypes.c_size_t
     lib.qz_xxh64_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.qz_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -145,10 +145,12 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
 
 def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,
                        lazy: bool, allow_custom: bool = True,
-                       try_huffman: bool = True, nthreads: int = 0
-                       ) -> list[bytes | None]:
+                       try_huffman: bool = True, window_log: int = 0,
+                       nthreads: int = 0) -> list[bytes | None]:
     """Match + extend + entropy for every block of `buf` in one native
-    call with an internal thread pool. None entries => emit raw."""
+    call with an internal thread pool. None entries => emit raw.
+    window_log > 0 enables cross-block window context (offsets reach back
+    up to 1 << window_log into earlier blocks' raw bytes)."""
     import os
     lib = _load()
     assert lib is not None
@@ -161,7 +163,7 @@ def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,
     sizes = np.zeros(nblocks, np.uint32)
     lib.qz_compress_blocks_mt(
         buf.ctypes.data, n, block_size, chain_depth, int(lazy),
-        int(allow_custom), int(try_huffman), nthreads,
+        int(allow_custom), int(try_huffman), window_log, nthreads,
         arena.ctypes.data, sizes.ctypes.data)
     out: list[bytes | None] = []
     for i in range(nblocks):
@@ -193,9 +195,12 @@ def block_body_external_seqsec(block: np.ndarray, lit_lens: np.ndarray,
 
 
 def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
-                     ml: np.ndarray, last_literals: int):
+                     ml: np.ndarray, last_literals: int,
+                     ctx_len: int = 0):
     """Re-extend capped matches with real byte compares (see
-    qz_extend_sequences). Returns (lit, off, ml, last_literals)."""
+    qz_extend_sequences). `block` may carry ctx_len bytes of window
+    context at the front; the sequences cover only the trailing block.
+    Returns (lit, off, ml, last_literals)."""
     lib = _load()
     assert lib is not None
     block = np.ascontiguousarray(block, np.uint8)
@@ -205,19 +210,21 @@ def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
     lastlit = ctypes.c_uint32(last_literals)
     # The C pass only shrinks/merges; arrays are modified in place.
     new_n = lib.qz_extend_sequences(
-        block.ctypes.data, len(block), ll.ctypes.data, of.ctypes.data,
-        mm.ctypes.data, len(ll), ctypes.byref(lastlit))
+        block.ctypes.data, ctx_len, len(block) - ctx_len, ll.ctypes.data,
+        of.ctypes.data, mm.ctypes.data, len(ll), ctypes.byref(lastlit))
     return (ll[:new_n].astype(np.int64), of[:new_n].astype(np.int64),
             mm[:new_n].astype(np.int64), int(lastlit.value))
 
 
 def find_sequences(block: np.ndarray, chain_depth: int, lazy: bool,
-                   cap: int | None = None):
-    """Native hash-chain matcher. Returns (lit, off, ml, last_literals)."""
+                   cap: int | None = None, ctx_len: int = 0):
+    """Native hash-chain matcher. `block` = ctx_len context bytes + the
+    block itself; matches may reference the context (cross-block window).
+    Returns (lit, off, ml, last_literals) covering the block only."""
     lib = _load()
     assert lib is not None
     block = np.ascontiguousarray(block, np.uint8)
-    n = len(block)
+    n = len(block) - ctx_len
     if cap is None:
         cap = max(16, n // 3 + 2)
     ll = np.empty(cap, np.uint32)
@@ -225,8 +232,9 @@ def find_sequences(block: np.ndarray, chain_depth: int, lazy: bool,
     ml = np.empty(cap, np.uint32)
     lastlit = ctypes.c_uint32(0)
     got = lib.qz_find_sequences(
-        block.ctypes.data, n, chain_depth, int(lazy), ll.ctypes.data,
-        of.ctypes.data, ml.ctypes.data, cap, ctypes.byref(lastlit))
+        block.ctypes.data, ctx_len, n, chain_depth, int(lazy),
+        ll.ctypes.data, of.ctypes.data, ml.ctypes.data, cap,
+        ctypes.byref(lastlit))
     if got == ctypes.c_size_t(-1).value:
         raise OverflowError("sequence capacity exceeded")
     return (ll[:got].astype(np.int64), of[:got].astype(np.int64),

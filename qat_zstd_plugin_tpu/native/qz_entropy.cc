@@ -1006,22 +1006,31 @@ struct Sequence {
   uint32_t lit_len, offset, match_len;
 };
 
-static const int HASH_LOG = 15;
 static const uint32_t HASH_MUL = 2654435761u;
 
-void find_sequences(const uint8_t* d, size_t n, int chain_depth, bool lazy,
-                    std::vector<Sequence>* seqs, uint32_t* last_literals) {
+// Hash-chain match finder over base[0 .. ctx_len + n): the first ctx_len
+// bytes are *window context* — raw bytes of earlier stream blocks that
+// matches may reference (offsets up to ctx_len + block position) but that
+// the emitted sequences never cover. This is what stock zstd's streaming
+// window gives its matcher; the caller sizes ctx_len so every offset stays
+// within the frame's declared window. ctx_len == 0 is the reference's
+// stateless per-block mode (src/qatseqprod.c:941).
+void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
+                    int chain_depth, bool lazy, std::vector<Sequence>* seqs,
+                    uint32_t* last_literals) {
   seqs->clear();
   if (n < 5) {
     *last_literals = static_cast<uint32_t>(n);
     return;
   }
-  std::vector<int32_t> head(1 << HASH_LOG, -1);
-  std::vector<int32_t> prev(n, -1);
+  const size_t total = ctx_len + n;
+  const int hash_log = ctx_len ? 17 : 15;
+  std::vector<int32_t> head(size_t(1) << hash_log, -1);
+  std::vector<int32_t> prev(total, -1);
   auto hash_at = [&](size_t p) {
     uint32_t w;
-    std::memcpy(&w, d + p, 4);
-    return (w * HASH_MUL) >> (32 - HASH_LOG);
+    std::memcpy(&w, base + p, 4);
+    return (w * HASH_MUL) >> (32 - hash_log);
   };
   auto insert = [&](size_t p) {
     uint32_t h = hash_at(p);
@@ -1029,7 +1038,7 @@ void find_sequences(const uint8_t* d, size_t n, int chain_depth, bool lazy,
     head[h] = static_cast<int32_t>(p);
   };
   auto best_match = [&](size_t p, uint32_t* off) -> size_t {
-    size_t limit = n - p;
+    size_t limit = total - p;
     if (limit < 3) return 0;
     size_t best = 0;
     uint32_t boff = 0;
@@ -1037,8 +1046,8 @@ void find_sequences(const uint8_t* d, size_t n, int chain_depth, bool lazy,
     int depth = chain_depth;
     while (cand >= 0 && depth > 0) {
       size_t l = 0;
-      const uint8_t* a = d + cand;
-      const uint8_t* b = d + p;
+      const uint8_t* a = base + cand;
+      const uint8_t* b = base + p;
       while (l + 8 <= limit && rd64(a + l) == rd64(b + l)) l += 8;
       while (l < limit && a[l] == b[l]) ++l;
       if (l > best) {
@@ -1048,17 +1057,26 @@ void find_sequences(const uint8_t* d, size_t n, int chain_depth, bool lazy,
       cand = prev[cand];
       --depth;
     }
-    if (best < 3 || (best == 3 && boff > 4096)) return 0;
+    // Cost floor: a sequence costs ~10 bits + log2(offset) extra bits, so
+    // short matches at far offsets are net losses.
+    if (best < 3 || (best == 3 && boff > 4096) ||
+      (best < 6 && boff > 65536))
+      return 0;
     *off = boff;
     return best;
   };
 
-  size_t lit_start = 0;
-  insert(0);
-  size_t inserted_up_to = 1;
-  size_t pos = 1;
-  size_t safe_end = n - 4;  // last position with a full 4-byte hash window
-  while (pos < n) {
+  // Seed the chains with the context (stride 2: context anchors only need
+  // to be findable, extension recovers exact lengths — half the seeding
+  // cost of the block itself).
+  if (ctx_len >= 4)
+    for (size_t p = 0; p + 4 <= ctx_len; p += 2) insert(p);
+  size_t lit_start = ctx_len;
+  insert(ctx_len);
+  size_t inserted_up_to = ctx_len + 1;
+  size_t pos = ctx_len + 1;
+  size_t safe_end = total - 4;  // last position with a full 4-byte window
+  while (pos < total) {
     if (pos > safe_end) {
       ++pos;
       continue;
@@ -1090,6 +1108,13 @@ void find_sequences(const uint8_t* d, size_t n, int chain_depth, bool lazy,
         off = noff;
       }
     }
+    // Backward extension into the pending literal run (zstd's standard
+    // post-find gain; hash chains only anchor match *starts*).
+    while (pos > lit_start && pos >= static_cast<size_t>(off) + 1 &&
+           base[pos - 1] == base[pos - 1 - off]) {
+      --pos;
+      ++len;
+    }
     seqs->push_back({static_cast<uint32_t>(pos - lit_start), off,
                      static_cast<uint32_t>(len)});
     size_t end = pos + len;
@@ -1100,11 +1125,11 @@ void find_sequences(const uint8_t* d, size_t n, int chain_depth, bool lazy,
       insert(p);
       p += step;
     }
-    inserted_up_to = std::min(end, n);
+    inserted_up_to = std::min(end, total);
     pos = end;
     lit_start = end;
   }
-  *last_literals = static_cast<uint32_t>(n - lit_start);
+  *last_literals = static_cast<uint32_t>(total - lit_start);
 }
 
 }  // namespace qz
@@ -1230,10 +1255,14 @@ size_t qz_block_body(const uint8_t* block, size_t block_len,
 // (QZSTD_decLz4s's token fix-ups, src/qatseqprod.c:1013-1091).
 //
 // Arrays are modified in place; returns the new sequence count.
-size_t qz_extend_sequences(const uint8_t* block, size_t n,
+// `base` holds ctx_len bytes of window context followed by the n-byte
+// block: extension compares may read into the context (offsets can reach
+// ctx_len + position back), but sequences still cover only the block.
+size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
                            uint32_t* lit_lens, uint32_t* offsets,
                            uint32_t* match_lens, size_t nseq,
                            uint32_t* last_literals) {
+  const uint8_t* block = base + ctx_len;
   size_t out = 0;
   size_t cursor = 0;        // bytes already emitted (post-extension)
   size_t orig_pos = 0;      // original span walker
@@ -1255,17 +1284,43 @@ size_t qz_extend_sequences(const uint8_t* block, size_t n,
       new_start = cursor;  // front-trimmed match
     }
     size_t new_ml = match_end - new_start;
-    if (new_ml < 3) {  // too short after trimming: degrade to literals
+    if (new_ml < 3 || off == 0 || off > ctx_len + new_start) {
+      // Too short after trimming, or structurally invalid: literals.
       pending_lit += new_lit + new_ml;
       cursor = match_end;
       continue;
     }
-    // Greedy extension past the original end.
-    size_t e = match_end;
-    while (e + 8 <= n && qz::rd64(block + e) == qz::rd64(block + e - off)) e += 8;
-    while (e < n && block[e] == block[e - off]) ++e;
-    new_ml += e - match_end;
-    lit_lens[out] = static_cast<uint32_t>(new_lit + pending_lit);
+    // Verify + re-extend: recompute the true LCP at (new_start,
+    // new_start - off). The device's claims may be probabilistic (the
+    // hash matcher's widths are hash-equal, not byte-verified — the
+    // compressAndVerify posture, src/qatseqprod.c:1245): a false claim
+    // shrinks below MIN_MATCH here and degrades to literals; a capped
+    // claim extends to its true length. Either way every emitted
+    // sequence is byte-exact.
+    size_t lim = n - new_start;
+    size_t l = 0;
+    const uint8_t* a = block + new_start;
+    const uint8_t* b = a - off;  // may reach into the window context
+    while (l + 8 <= lim && qz::rd64(a + l) == qz::rd64(b + l)) l += 8;
+    while (l < lim && a[l] == b[l]) ++l;
+    if (l < 3) {  // false claim: the whole span becomes literals
+      pending_lit += new_lit + new_ml;
+      cursor = match_end;
+      continue;
+    }
+    new_ml = l;
+    // Backward extension: grow the match into the preceding literal run
+    // (contiguous bytes [new_start - new_lit - pending_lit, new_start)),
+    // the standard zstd gain the forward-only device parse leaves behind.
+    uint64_t total_lit = new_lit + pending_lit;
+    while (total_lit > 0 && new_start > 0 &&
+           new_start - 1 + ctx_len >= off &&
+           block[new_start - 1] == *(block + new_start - 1 - off)) {
+      --new_start;
+      --total_lit;
+      ++new_ml;
+    }
+    lit_lens[out] = static_cast<uint32_t>(total_lit);
     offsets[out] = off;
     match_lens[out] = static_cast<uint32_t>(new_ml);
     pending_lit = 0;
@@ -1310,14 +1365,17 @@ size_t qz_block_body_external_seqsec(
   return total;
 }
 
-// Software matcher (native fallback). Writes up to cap sequences; returns
-// the count, sets *last_literals. Returns SIZE_MAX on overflow.
-size_t qz_find_sequences(const uint8_t* block, size_t n, int chain_depth,
-                         int lazy, uint32_t* lit_lens, uint32_t* offsets,
-                         uint32_t* match_lens, size_t cap,
+// Software matcher (native fallback). `base` holds ctx_len bytes of
+// window context followed by the n-byte block (ctx_len = 0 for stateless
+// blocks). Writes up to cap sequences; returns the count, sets
+// *last_literals. Returns SIZE_MAX on overflow.
+size_t qz_find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
+                         int chain_depth, int lazy, uint32_t* lit_lens,
+                         uint32_t* offsets, uint32_t* match_lens, size_t cap,
                          uint32_t* last_literals) {
   std::vector<qz::Sequence> seqs;
-  qz::find_sequences(block, n, chain_depth, lazy != 0, &seqs, last_literals);
+  qz::find_sequences(base, ctx_len, n, chain_depth, lazy != 0, &seqs,
+                     last_literals);
   if (seqs.size() > cap) return static_cast<size_t>(-1);
   for (size_t i = 0; i < seqs.size(); ++i) {
     lit_lens[i] = seqs[i].lit_len;
@@ -1335,9 +1393,18 @@ size_t qz_find_sequences(const uint8_t* block, size_t n, int chain_depth,
 // "emit raw" for that block.
 void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
                            int chain_depth, int lazy, int allow_custom,
-                           int try_huffman, int nthreads, uint8_t* dst,
-                           uint32_t* body_sizes) {
+                           int try_huffman, int window_log, int nthreads,
+                           uint8_t* dst, uint32_t* body_sizes) {
   size_t nblocks = n == 0 ? 0 : (n + block_size - 1) / block_size;
+  // Window context per block: raw bytes of earlier blocks, capped so any
+  // offset (ctx + in-block position) stays within 1 << window_log. Blocks
+  // stay embarrassingly parallel because context is the *raw* input, not
+  // prior compression state.
+  size_t max_ctx = 0;
+  if (window_log > 0) {
+    size_t w = size_t(1) << window_log;
+    max_ctx = w > block_size ? w - block_size : 0;
+  }
   std::atomic<size_t> next{0};
   auto worker = [&]() {
     std::vector<qz::Sequence> seqs;
@@ -1348,9 +1415,10 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
       size_t len = std::min(block_size, n - off);
       body_sizes[i] = 0;
       if (len < 64) continue;
+      size_t ctx = std::min(off, max_ctx);
       uint32_t last_lit = 0;
-      qz::find_sequences(src + off, len, chain_depth, lazy != 0, &seqs,
-                         &last_lit);
+      qz::find_sequences(src + off - ctx, ctx, len, chain_depth, lazy != 0,
+                         &seqs, &last_lit);
       std::vector<uint32_t> ll(seqs.size()), of(seqs.size()),
           ml(seqs.size());
       for (size_t s = 0; s < seqs.size(); ++s) {

@@ -215,6 +215,273 @@ def candidates(blocks: jnp.ndarray, lengths: jnp.ndarray,
     return mlen, moff
 
 
+def _hash_width(blocks_i32: jnp.ndarray, width: int, n: int,
+                hbits: int) -> jnp.ndarray:
+    """hbits-bit multiplicative hash of the width-byte gram at each
+    position (uint32 lanes; zero-padded tail)."""
+    xu = blocks_i32.astype(jnp.uint32)
+    pad = jnp.zeros(xu.shape[:-1] + (16,), jnp.uint32)
+    xp = jnp.concatenate([xu, pad], axis=-1)
+
+    def word(shift: int) -> jnp.ndarray:
+        return ((xp[..., shift:shift + n] << 24)
+                | (xp[..., shift + 1:shift + 1 + n] << 16)
+                | (xp[..., shift + 2:shift + 2 + n] << 8)
+                | (xp[..., shift + 3:shift + 3 + n]))
+
+    C1 = jnp.uint32(2654435761)
+    C2 = jnp.uint32(2246822519)
+    C3 = jnp.uint32(3266489917)
+    w0 = word(0)
+    if width == 4:
+        h = w0 * C1
+    elif width == 5:
+        h = (w0 * C1) ^ ((xp[..., 4:4 + n] * C2) << 11)
+    elif width == 6:
+        w1 = (xp[..., 4:4 + n] << 8) | xp[..., 5:5 + n]
+        h = (w0 * C1) ^ (w1 * C2)
+    elif width == 8:
+        h = (w0 * C1) ^ (word(4) * C2) * C3
+    else:
+        raise ValueError(f"unsupported hash width {width}")
+    return h >> (32 - hbits)
+
+
+def candidates_hash(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                    widths: tuple[int, ...] = (4, 8), neighbors: int = 2,
+                    window: int = 32768, chain_steps: int = 2,
+                    est_in_len: bool = True
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-word-sort candidate generation — the fast-path matcher.
+
+    XLA's TPU sort has a ~8x faster path for a SINGLE 32-bit operand with
+    is_stable=False (measured 0.11-0.22 ms/Melem vs 0.9-1.4 for
+    multi-operand lexicographic sorts), so instead of carrying content
+    words through the sort for exact LCP (candidates() above), this packs
+    (hash<<pbits | pos) into one word per gram width. Equal-hash sorted
+    neighbors claim "a width-byte match at offset pos-prev" with length =
+    width; matches are *probabilistic* (hbits-bit hash, ~2^-17 false rate)
+    and the host extension pass verifies real bytes and drops the rare
+    false candidate — the sequences the host emits are always exact, the
+    posture the reference takes with its accelerator's claimed sequences
+    (compressAndVerify, src/qatseqprod.c:1245).
+
+    The un-sort back to position order packs (pos<<obits | off) into one
+    word as well. Window <= 64K keeps pos+off within 32 bits (the
+    reference's LZ4s offsets are LE16-capped at 64K too,
+    src/qatseqprod.c:1048).
+
+    Returns (mlen, moff): mlen in {0, widths...} plus exact offset-1 runs.
+    """
+    B, N = blocks.shape
+    assert window & (window - 1) == 0 and window <= 32768
+    xi = blocks.astype(jnp.int32)
+    nseg = 1
+    if window < N:
+        assert N % window == 0
+        nseg = N // window
+    R = B * nseg
+    w = min(window, N)
+    pbits = (w - 1).bit_length()   # pos (and off) bit width
+    hbits = 32 - pbits
+    pos = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.uint32)[None, :], (R, w))
+
+    mlen = jnp.zeros((B, N), jnp.int32)
+    moff = jnp.zeros((B, N), jnp.int32)
+    for width in widths:
+        h = _hash_width(xi, width, N, hbits)
+        if nseg > 1:
+            h = h.reshape(R, w)
+        key = (h << pbits) | pos
+        sk = jax.lax.sort((key,), dimension=1, is_stable=False,
+                          num_keys=1)[0]
+        sh = sk >> pbits
+        sp = (sk & jnp.uint32(w - 1)).astype(jnp.int32)
+        off_k = jnp.zeros((R, w), jnp.int32)
+        for k in range(1, neighbors + 1):
+            ph = jnp.concatenate(
+                [jnp.full((R, k), 0xFFFFFFFF, jnp.uint32), sh[:, :-k]],
+                axis=1)
+            pp = jnp.concatenate(
+                [jnp.zeros((R, k), jnp.int32), sp[:, :-k]], axis=1)
+            eq = (sh == ph) & (pp < sp)
+            # Nearest previous occurrence wins (k=1 is nearest by sort
+            # order; k>1 only fills where closer neighbors missed).
+            off_k = jnp.where((off_k == 0) & eq, sp - pp, off_k)
+        # Un-sort via a second single-word sort keyed on position: pos
+        # moves to the MSBs, the found offset rides the low bits
+        # (off < 2^pbits <= 2^hbits free low bits since window <= 32K
+        # keeps pbits <= 15 <= hbits).
+        un = (sk << hbits) | off_k.astype(jnp.uint32)
+        su = jax.lax.sort((un,), dimension=1, is_stable=False,
+                          num_keys=1)[0]
+        offs = (su & jnp.uint32((1 << pbits) - 1)).astype(jnp.int32)
+        offs = offs.reshape(B, N) if nseg > 1 else offs
+        # Claimed width must stay inside the block's valid bytes.
+        gp = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                              (B, N))
+        offs = jnp.where(gp + width <= lengths[:, None].astype(jnp.int32),
+                         offs, 0)
+        # True-length estimation by same-offset chain doubling: if t and
+        # t+width both claim offset d, bytes [t, t+2*width) match at d,
+        # so LCP >= 2*width. Two doubling steps bound the estimate at
+        # 4*width — enough for honest cross-width comparisons and the
+        # cost filter (host extension recovers exact lengths).
+        reach = (offs > 0).astype(jnp.int32)  # chain length in units of w
+        span_units = 1
+        for _ in range(chain_steps):
+            shift = span_units * width
+            nxt_off = jnp.concatenate(
+                [offs[:, shift:], jnp.zeros((B, shift), jnp.int32)], axis=1)
+            nxt_reach = jnp.concatenate(
+                [reach[:, shift:], jnp.zeros((B, shift), jnp.int32)],
+                axis=1)
+            # Extend only fully-chained spans: t..t+shift must already be
+            # covered before t+shift's own chain can be appended.
+            cont = (offs > 0) & (reach == span_units) & (nxt_off == offs)
+            reach = jnp.where(cont, reach + nxt_reach, reach)
+            span_units *= 2
+        est = reach * width
+        # Merge across widths: longer estimated match first, then nearer
+        # source — the same economics as the content matcher's score.
+        better = (est > mlen) | ((est == mlen) & (offs > 0)
+                                 & ((offs < moff) | (moff == 0)))
+        take = (offs > 0) & better
+        mlen = jnp.where(take, est if est_in_len else width, mlen)
+        moff = jnp.where(take, offs, moff)
+
+    # Cost filter: longer matches first, shorter ones only near (the
+    # content matcher's tuned rule on estimated lengths).
+    worth = ((mlen >= 7)
+             | ((mlen >= 6) & (moff <= 32768))
+             | ((mlen >= 5) & (moff <= 4096))
+             | ((mlen >= 4) & (moff <= 256)))
+    mlen = jnp.where(worth, mlen, 0)
+    moff = jnp.where(worth, moff, 0)
+    # Compact packings carry ml in 14 bits.
+    mlen = jnp.minimum(mlen, 16383)
+
+    # Offset-1 run augmentation (exact, crosses segments freely).
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    chg = jnp.concatenate(
+        [xi[:, :-1] != xi[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    run_end = jax.lax.cummin(
+        jnp.where(chg, idx, BIG)[:, ::-1], axis=1)[:, ::-1]
+    len1 = run_end - idx + 1
+    blen_full = lengths[:, None].astype(jnp.int32)
+    len1 = jnp.minimum(len1, blen_full - idx)
+    # Cap so (ml, off) pairs survive the 14/16-bit compact packings;
+    # longer runs chain at offset 1 and re-merge in the host coalesce.
+    len1 = jnp.minimum(len1, 16383)
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), xi[:, 1:] == xi[:, :-1]], axis=1)
+    valid1 = prev_eq & (len1 >= MIN_MATCH)
+    use1 = valid1 & (len1 > mlen)
+    mlen = jnp.where(use1, len1, mlen)
+    moff = jnp.where(use1, 1, moff)
+    return mlen, moff
+
+
+def compact_fast(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
+                 lengths: jnp.ndarray, max_seq: int, window: int):
+    """Compaction via parallel single-word sorts.
+
+    Two sorts share identical unique position keys in their high bits, so
+    (is_stable=False) both produce the same order and each carries one
+    payload field in its low bits — k payload words cost k fast sorts
+    instead of one slow lexicographic sort. Requires ml <= 16383 (capped
+    upstream) and off < window <= 64K.
+    """
+    B, N = chosen.shape
+    req_seq = max_seq
+    max_seq = min(max_seq, N)
+    w = min(window, N)
+    nseg = N // w
+    R = B * nseg
+    pbits = (w - 1).bit_length() + 1   # +1 for the not-chosen sentinel
+    shift = 32 - pbits
+    # Payload fields must fit below the position key: ml is capped at
+    # 16383 upstream and off < window <= 32K, both < 2^shift (>= 2^16).
+    assert shift >= 16, (w, shift)
+    lw = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None, :], (R, w))
+    ch = chosen.reshape(R, w)
+    poskey = jnp.where(ch, lw, jnp.uint32(w))     # sentinel = w
+    mls = mlen.reshape(R, w).astype(jnp.uint32)
+    offs = moff.reshape(R, w).astype(jnp.uint32)
+    sA = jax.lax.sort(((poskey << shift) | mls,), dimension=1,
+                      is_stable=False, num_keys=1)[0]
+    sB = jax.lax.sort(((poskey << shift) | offs,), dimension=1,
+                      is_stable=False, num_keys=1)[0]
+    capseg = min(w // MIN_MATCH, max_seq)
+    segpos = (sA[:, :capseg] >> shift).astype(jnp.int32)
+    segml = (sA[:, :capseg] & jnp.uint32((1 << shift) - 1)) \
+        .astype(jnp.int32)
+    segoff = (sB[:, :capseg] & jnp.uint32((1 << shift) - 1)) \
+        .astype(jnp.int32)
+    nseq = chosen.sum(axis=1).astype(jnp.int32)
+    if nseg > 1:
+        # Merge per-segment prefixes with small global parallel sorts.
+        # Sentinel = N-1: a chosen position needs >= MIN_MATCH bytes of
+        # match after it, so position N-1 can never start a sequence and
+        # the sentinel needs no extra key bit (gshift stays >= 15, room
+        # for ml <= 16383 and off < 32K).
+        seg_start = ((jnp.arange(R, dtype=jnp.int32) % nseg) * w)[:, None]
+        seg_cnt = ch.sum(axis=1).astype(jnp.int32)[:, None]
+        valid = jnp.arange(capseg, dtype=jnp.int32)[None, :] < seg_cnt
+        gpos = jnp.where(valid, segpos + seg_start, N - 1) \
+            .astype(jnp.uint32)
+        gbits = (N - 1).bit_length()
+        gshift = 32 - gbits
+        assert gshift >= 15, (N, gshift)
+        M = nseg * capseg
+        gpos = gpos.reshape(B, M)
+        gml = jnp.where(valid, segml, 0).reshape(B, M).astype(jnp.uint32)
+        goff = jnp.where(valid, segoff, 0).reshape(B, M) \
+            .astype(jnp.uint32)
+        gA = jax.lax.sort(((gpos << gshift) | gml,), dimension=1,
+                          is_stable=False, num_keys=1)[0]
+        gB = jax.lax.sort(((gpos << gshift) | goff,), dimension=1,
+                          is_stable=False, num_keys=1)[0]
+        take = min(max_seq, M)
+        t2 = (gA[:, :take] >> gshift).astype(jnp.int32)
+        l2 = (gA[:, :take] & jnp.uint32((1 << gshift) - 1)) \
+            .astype(jnp.int32)
+        o2 = (gB[:, :take] & jnp.uint32((1 << gshift) - 1)) \
+            .astype(jnp.int32)
+    else:
+        take = min(max_seq, capseg)
+        t2 = segpos[:, :take]
+        l2 = segml[:, :take]
+        o2 = segoff[:, :take]
+    if take < max_seq:
+        t2 = jnp.pad(t2, ((0, 0), (0, max_seq - take)))
+        l2 = jnp.pad(l2, ((0, 0), (0, max_seq - take)))
+        o2 = jnp.pad(o2, ((0, 0), (0, max_seq - take)))
+    srow = jnp.broadcast_to(jnp.arange(max_seq, dtype=jnp.int32)[None, :],
+                            (B, max_seq))
+    valid = srow < nseq[:, None]
+    prev_end = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), (t2 + l2)[:, :-1]], axis=1)
+    lit = jnp.where(valid, t2 - prev_end, 0)
+    ml = jnp.where(valid, l2, 0)
+    off = jnp.where(valid, o2, 0)
+    ends = jnp.where(valid, t2 + l2, 0)
+    last_end = ends.max(axis=1)
+    last_literals = lengths.astype(jnp.int32) - last_end
+    overflow = nseq > max_seq
+    if req_seq > max_seq:
+        pad = req_seq - max_seq
+        lit = jnp.pad(lit, ((0, 0), (0, pad)))
+        off = jnp.pad(off, ((0, 0), (0, pad)))
+        ml = jnp.pad(ml, ((0, 0), (0, pad)))
+    return {
+        "lit_len": lit, "offset": off, "match_len": ml,
+        "nseq": jnp.minimum(nseq, max_seq), "last_literals": last_literals,
+        "overflow": overflow,
+    }
+
+
 def parse_greedy_scan(mlen: jnp.ndarray, lazy: bool = False) -> jnp.ndarray:
     """Greedy parse via lax.scan over positions (XLA-portable fallback).
 
@@ -450,34 +717,47 @@ def _pack_jit(out, max_seq):
 
 @functools.partial(jax.jit, static_argnames=("neighbors", "max_seq",
                                              "parser", "lazy", "stride",
-                                             "window"))
+                                             "window", "matcher", "widths"))
 def find_matches_fused(blocks, lengths, neighbors: int = 4,
                        max_seq: int = 16384, parser: str = "scan",
                        lazy: bool = False, stride: int = 1,
-                       window: int = 1 << 30):
+                       window: int = 1 << 30, matcher: str = "content",
+                       widths: tuple = (4, 8)):
     """Whole pipeline + packing as ONE jit dispatch.
 
     The dev link charges ~50ms per dispatch RPC, so the staged variant's
     4 dispatches dominate wall time at production batch sizes; this fused
     program pays one. Compile is slower (one-time; persisted via the jax
-    compilation cache)."""
-    mlen, moff = candidates(blocks, lengths, neighbors, stride, window)
-    chosen = _parse(mlen, parser, lazy)
-    out = compact(chosen, mlen, moff, lengths, max_seq, window=window)
+    compilation cache).
+
+    matcher="hash" takes the single-word-sort fast path (candidates_hash +
+    compact_fast: quantized claim lengths, host-verified); "content"
+    carries content words through the sorts for exact LCP."""
+    if matcher == "hash":
+        mlen, moff = candidates_hash(blocks, lengths, widths=widths,
+                                     neighbors=neighbors, window=window)
+        chosen = _parse(mlen, parser, lazy)
+        out = compact_fast(chosen, mlen, moff, lengths, max_seq, window)
+    else:
+        mlen, moff = candidates(blocks, lengths, neighbors, stride, window)
+        chosen = _parse(mlen, parser, lazy)
+        out = compact(chosen, mlen, moff, lengths, max_seq, window=window)
     return pack_outputs(out, max_seq)
 
 
 def find_matches_packed(blocks, lengths, neighbors: int = 4,
                         max_seq: int = 16384, parser: str = "scan",
                         fused: bool | None = None, lazy: bool = False,
-                        stride: int = 1, window: int = 1 << 30):
+                        stride: int = 1, window: int = 1 << 30,
+                        matcher: str = "content", widths: tuple = (4, 8)):
     """Packed-result pipeline; fused single-dispatch on TPU by default."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
-    if fused:
+    if fused or matcher == "hash":
         return find_matches_fused(blocks, lengths, neighbors=neighbors,
                                   max_seq=max_seq, parser=parser, lazy=lazy,
-                                  stride=stride, window=window)
+                                  stride=stride, window=window,
+                                  matcher=matcher, widths=tuple(widths))
     out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser,
                               lazy, stride, window)
     return _pack_jit(out, max_seq)

@@ -107,3 +107,115 @@ def roundtrip_ok(frame: bytes, original: bytes) -> bool:
         return decompress(frame, len(original)) == original
     except ZstdOracleError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Real sequence-producer registration (the reference's core integration:
+# ZSTD_registerSequenceProducer + ZSTD_compress2 driving qatSequenceProducer,
+# src/qatseqprod.h:110-116 / test/test.c:103-116). Stock libzstd is the one
+# consumer that defines the producer contract, so we register ours with it.
+
+class ZstdSequence(ctypes.Structure):
+    """ZSTD_Sequence (zstd.h:1240-1278): 4 x u32."""
+    _fields_ = [("offset", ctypes.c_uint32),
+                ("litLength", ctypes.c_uint32),
+                ("matchLength", ctypes.c_uint32),
+                ("rep", ctypes.c_uint32)]
+
+
+# size_t (void* state, ZSTD_Sequence* out, size_t cap, const void* src,
+#         size_t srcSize, const void* dict, size_t dictSize, int level,
+#         size_t windowSize)   -- zstd.h:2935-2945
+SEQPROD_CFUNC = ctypes.CFUNCTYPE(
+    ctypes.c_size_t, ctypes.c_void_p, ctypes.POINTER(ZstdSequence),
+    ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+    ctypes.c_size_t, ctypes.c_int, ctypes.c_size_t)
+
+ZSTD_SEQUENCE_PRODUCER_ERROR = ctypes.c_size_t(-1).value  # zstd.h:2933
+
+ZSTD_c_compressionLevel = 100
+ZSTD_c_enableSeqProducerFallback = 1014   # experimentalParam17, zstd.h:2128
+ZSTD_c_searchForExternalRepcodes = 1016   # experimentalParam19, zstd.h:2164
+ZSTD_ps_enable = 1
+
+
+@lru_cache(maxsize=1)
+def _cctx_lib():
+    lib = _lib()
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+    lib.ZSTD_CCtx_setParameter.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.ZSTD_compress2.restype = ctypes.c_size_t
+    lib.ZSTD_compress2.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_size_t]
+    lib.ZSTD_registerSequenceProducer.restype = None
+    lib.ZSTD_registerSequenceProducer.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, SEQPROD_CFUNC]
+    return lib
+
+
+def compress_with_producer(data: bytes, produce, level: int = 1,
+                           fallback: bool = True,
+                           search_repcodes: bool = False) -> bytes:
+    """ZSTD_compress2 with `produce` registered as the external sequence
+    producer — the exact integration shape of the reference
+    (test/test.c:103-116: register, enable fallback, compress2).
+
+    produce(block: bytes, level: int, window_size: int) must return a list
+    of (offset, lit_length, match_length) triples covering the block (final
+    entry literals-only: offset == match_length == 0), or None for
+    producer-error (libzstd then software-fallbacks the block when
+    `fallback`).
+    """
+    lib = _cctx_lib()
+    calls = {"blocks": 0, "errors": 0}
+
+    @SEQPROD_CFUNC
+    def cb(_state, out_seqs, cap, src, src_size, _dict, dict_size, clevel,
+           wsize):
+        try:
+            if dict_size:  # dictionaries unsupported (src/qatseqprod.h:98)
+                calls["errors"] += 1
+                return ZSTD_SEQUENCE_PRODUCER_ERROR
+            block = ctypes.string_at(src, src_size)
+            seqs = produce(block, clevel, wsize)
+            if seqs is None or len(seqs) > cap:
+                calls["errors"] += 1
+                return ZSTD_SEQUENCE_PRODUCER_ERROR
+            for i, (off, lit, ml) in enumerate(seqs):
+                out_seqs[i] = ZstdSequence(off, lit, ml, 0)
+            calls["blocks"] += 1
+            return len(seqs)
+        except Exception:
+            calls["errors"] += 1
+            return ZSTD_SEQUENCE_PRODUCER_ERROR
+
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        raise ZstdOracleError("ZSTD_createCCtx failed")
+    try:
+        for param, val in ((ZSTD_c_compressionLevel, level),
+                           (ZSTD_c_enableSeqProducerFallback, int(fallback)),
+                           (ZSTD_c_searchForExternalRepcodes,
+                            ZSTD_ps_enable if search_repcodes else 0)):
+            r = lib.ZSTD_CCtx_setParameter(cctx, param, val)
+            if lib.ZSTD_isError(r):
+                raise ZstdOracleError(
+                    f"setParameter({param}) failed: "
+                    f"{lib.ZSTD_getErrorName(r).decode()}")
+        lib.ZSTD_registerSequenceProducer(cctx, None, cb)
+        cap = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        ret = lib.ZSTD_compress2(cctx, dst, cap, data, len(data))
+        if lib.ZSTD_isError(ret):
+            raise ZstdOracleError(
+                f"compress2 failed: {lib.ZSTD_getErrorName(ret).decode()}")
+        out = dst.raw[:ret]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+    out_stats = calls
+    compress_with_producer.last_stats = out_stats
+    return out

@@ -47,16 +47,22 @@ class TpuLevelParams:
     window: int = 1 << 30  # match window (segmented candidate sorts)
     custom_tables: bool = True
     huffman: bool = True
+    # matcher="hash": single-word-sort fast path (quantized claim widths,
+    # host-verified — requires the native runtime); "content": exact-LCP
+    # sorts carrying content words.
+    matcher: str = "content"
+    widths: tuple = (4, 8)
 
 
-# Window ladder: segmented candidate sorts are ~2-3x faster (XLA sort
-# VMEM locality) at +0.2..0.5 ratio points; fast levels take the trade,
-# high levels keep the full block window.
+# Fast levels ride the hash matcher (XLA's single-operand sort fast path,
+# ~8x cheaper per sort); higher levels keep exact-LCP content sorts with
+# progressively wider windows.
 TPU_LEVEL_TABLE = {
-    1: TpuLevelParams(1, window=16384),
-    2: TpuLevelParams(2, window=16384),
-    3: TpuLevelParams(3, window=16384),
-    4: TpuLevelParams(4, window=32768),
+    1: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8)),
+    2: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8)),
+    3: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8)),
+    4: TpuLevelParams(2, window=32768, matcher="hash",
+                      widths=(4, 5, 6, 8)),
     5: TpuLevelParams(4, lazy=True, window=32768),
     6: TpuLevelParams(6, lazy=True, window=32768),
     7: TpuLevelParams(6, lazy=True),
@@ -136,12 +142,24 @@ class TpuCodec:
         import jax
         return "pallas" if jax.default_backend() == "tpu" else "scan"
 
+    def _matcher(self) -> str:
+        # The hash matcher's claims are only probabilistic until the host
+        # extension pass verifies real bytes — without the native runtime
+        # there is no verifier, so fall back to exact content sorts.
+        if self.params.matcher == "hash" and not native.available():
+            return "content"
+        return self.params.matcher
+
     def _pipeline(self):
         if self._fn is None:
             from ..ops import match_pipeline
             parser = self._resolve_parser()
 
             if self.device_entropy:
+                # Device entropy encodes final FSE sections from the raw
+                # device sequences — no host verification pass — so it
+                # requires the exact-LCP content matcher (hash-path claims
+                # are probabilistic until the host checks them).
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_with_seqsec(
                         blocks, lengths, neighbors=self.params.neighbors,
@@ -154,7 +172,8 @@ class TpuCodec:
                         blocks, lengths, neighbors=self.params.neighbors,
                         max_seq=self.max_seq, parser=parser,
                         lazy=self.params.lazy, stride=self.params.stride,
-                        window=self.params.window)
+                        window=self.params.window,
+                        matcher=self._matcher(), widths=self.params.widths)
 
             self._fn = run
         return self._fn
@@ -231,7 +250,9 @@ class TpuCodec:
         buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
             data, np.ndarray) else np.ascontiguousarray(data, np.uint8)
         bodies = self.compress_bodies(buf, validate=validate)
-        return frame.assemble_frame(buf, bodies, self.block_size, checksum)
+        wlog = golden_codec.level_params(self.level).window_log
+        return frame.assemble_frame(buf, bodies, self.block_size, checksum,
+                                    window_log=wlog)
 
     def compress_bodies(self, buf: np.ndarray, validate: bool = False
                         ) -> list[bytes | None]:
@@ -250,7 +271,7 @@ class TpuCodec:
                 bodies = native.compress_blocks_mt(
                     buf, bs, gp.chain_depth, gp.lazy,
                     self.params.custom_tables and gp.custom_tables,
-                    self.params.huffman)
+                    self.params.huffman, window_log=gp.window_log)
             per = tm.elapsed / max(1, len(bodies))
             for i, body in enumerate(bodies):
                 self.stats.record(min(n - i * bs, bs),
@@ -282,11 +303,17 @@ class TpuCodec:
                               fallback=seqs is None and i in full_ids)
             return body
 
+        # Cross-block window context: offsets may reach back into earlier
+        # blocks' raw bytes, capped so ctx + block <= the frame window.
+        max_ctx = max(0, (1 << gp.window_log) - bs)
+
         def _finish_block(i: int, seqs: BlockSequences | None,
                           dev_section: bytes | None = None) -> bytes | None:
             blk = buf[i * bs:min((i + 1) * bs, n)]
             if len(blk) < 64:
                 return None
+            ctx = min(i * bs, max_ctx)
+            cblk = buf[i * bs - ctx:min((i + 1) * bs, n)]
             if dev_section is not None:
                 if seqs is not None and use_native:
                     # Hybrid entropy: the device already encoded the
@@ -304,14 +331,14 @@ class TpuCodec:
             if seqs is not None and use_native and seqs.nseq:
                 # Re-extend the device's capped matches to true lengths.
                 ll, of, ml, lastlit = native.extend_sequences(
-                    blk, seqs.lit_lengths, seqs.offsets,
-                    seqs.match_lengths, seqs.last_literals)
+                    cblk, seqs.lit_lengths, seqs.offsets,
+                    seqs.match_lengths, seqs.last_literals, ctx_len=ctx)
                 seqs = BlockSequences(ll, of, ml, lastlit)
             if seqs is None:
                 if use_native:
                     try:
                         ll, of, ml, lastlit = native.find_sequences(
-                            blk, gp.chain_depth, gp.lazy)
+                            cblk, gp.chain_depth, gp.lazy, ctx_len=ctx)
                         seqs = BlockSequences(ll, of, ml, lastlit)
                     except OverflowError:
                         return None
@@ -319,7 +346,7 @@ class TpuCodec:
                     seqs = golden_codec.compress_block_sequences(
                         blk, self.level)
             if validate:
-                golden_matcher.validate_sequences(blk, seqs)
+                golden_matcher.validate_sequences(cblk, seqs, ctx_len=ctx)
             custom = self.params.custom_tables and gp.custom_tables
             if use_native:
                 return native.block_body(

@@ -34,8 +34,39 @@ def _ratio(codec, data):
 
 
 def test_device_path_l1_ratio(corpus):
+    # L1 rides the hash matcher (quantized claims, host-verified): ~1
+    # ratio point behind the content matcher for a multiple of its speed.
     r = _ratio(TpuCodec(level=1, batch=4, use_device=True), corpus)
-    assert r < 0.287, r
+    assert r < 0.295, r
+
+
+def test_device_path_l3_ratio(corpus):
+    r = _ratio(TpuCodec(level=3, batch=4, use_device=True), corpus)
+    assert r < 0.292, r
+
+
+def test_device_vs_stock_per_level(corpus):
+    """Per-level parity gate vs stock zstd (BASELINE.md) for the device
+    pipeline. Device blocks are still window-independent (stock's matcher
+    sees cross-block history on this multi-block corpus), so the bounds
+    carry that handicap + missing repcodes; the CPU-native path below has
+    context and gets strict bounds."""
+    for lvl, bound in ((1, 1.07), (4, 1.07), (5, 1.02), (9, 1.02)):
+        ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
+        stock = len(oracle.compress(corpus, lvl)) / len(corpus)
+        assert ours <= stock * bound, (lvl, ours, stock)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_cpu_native_vs_stock_per_level(corpus):
+    """The software path (cross-block context, native matcher) must beat
+    stock zstd outright at L5+ and stay within 5% at L1-L4 (repcodes
+    pending)."""
+    for lvl, bound in ((1, 1.05), (3, 1.05), (5, 1.0), (9, 1.0),
+                       (12, 1.0)):
+        ours = _ratio(TpuCodec(level=lvl, use_device=False), corpus)
+        stock = len(oracle.compress(corpus, lvl)) / len(corpus)
+        assert ours <= stock * bound, (lvl, ours, stock)
 
 
 def test_device_path_l9_ratio(corpus):
