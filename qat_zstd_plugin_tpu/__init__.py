@@ -115,7 +115,7 @@ def sequence_producer(state: SeqProdState, block: bytes | np.ndarray,
             if native.available():
                 gp = golden_codec.level_params(state.level)
                 ll, of, ml, lastlit = native.find_sequences(
-                    buf, gp.chain_depth, gp.lazy)
+                    buf, gp.chain_depth, gp.lazy, mml=gp.mml)
                 seqs = BlockSequences(ll, of, ml, lastlit)
             else:
                 seqs = golden_codec.compress_block_sequences(

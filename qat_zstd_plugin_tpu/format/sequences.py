@@ -134,23 +134,84 @@ def _mk_state(plan: _TablePlan, first_symbol: int):
     return fse.FseEncoder(plan.enc, first_symbol)
 
 
+def offset_values(offsets: np.ndarray, lit_lengths: np.ndarray
+                  ) -> np.ndarray:
+    """offset_value stream with repcode compression (RFC 8878
+    §3.1.1.3.2.1.1): values 1-3 name recent-offset history slots, > 3 is
+    explicit (raw + 3).
+
+    Blocks are encoded in parallel, so the incoming rep state (which the
+    decoder carries across blocks) is unknown here; a history slot is
+    only used once enough explicit offsets have locally determined it.
+    After three explicit pushes the whole history is local. This is the
+    ratio the reference recovers via libzstd's repcode post-pass
+    (ZSTD_c_searchForExternalRepcodes, test/benchmark.c:269-277), done
+    natively."""
+    n = len(offsets)
+    ofv = np.empty(n, dtype=np.int64)
+    reps = [1, 4, 8]
+    known = 0  # rep slots [0, known) hold locally-determined offsets
+    for i in range(n):
+        off = int(offsets[i])
+        ll = int(lit_lengths[i])
+        if ll != 0:
+            if known >= 1 and off == reps[0]:
+                ofv[i] = 1
+                continue
+            if known >= 2 and off == reps[1]:
+                ofv[i] = 2
+                reps[:] = [reps[1], reps[0], reps[2]]
+                continue
+            if known >= 3 and off == reps[2]:
+                ofv[i] = 3
+                reps[:] = [reps[2], reps[0], reps[1]]
+                continue
+        else:
+            if known >= 2 and off == reps[1]:
+                ofv[i] = 1
+                reps[:] = [reps[1], reps[0], reps[2]]
+                continue
+            if known >= 3 and off == reps[2]:
+                ofv[i] = 2
+                reps[:] = [reps[2], reps[0], reps[1]]
+                continue
+            if known >= 1 and off == reps[0] - 1 and off > 0:
+                ofv[i] = 3
+                reps[:] = [off, reps[0], reps[1]]
+                known = min(3, known + 1)  # rep0-1 pushes a new value
+                continue
+        ofv[i] = off + 3
+        reps[:] = [off, reps[0], reps[1]]
+        known = min(3, known + 1)
+    return ofv
+
+
 def encode_sequences(lit_lengths: np.ndarray, offsets: np.ndarray,
                      match_lengths: np.ndarray,
                      allow_custom_tables: bool = True,
-                     force_predefined: bool = False) -> bytes:
+                     force_predefined: bool = False,
+                     use_repcodes: bool | None = None) -> bytes:
     """Full Sequences_Section bytes for one block.
 
     lit_lengths[i]: literals preceding match i; offsets[i]: raw match offset
     (>=1); match_lengths[i]: match length (>=3).
+
+    use_repcodes defaults to on, except in force_predefined (device-parity)
+    mode where the on-TPU kernel's explicit-offset stream is mirrored.
     """
     n = len(lit_lengths)
     out = bytearray(nbseq_header(n))
     if n == 0:
         return bytes(out)
 
+    if use_repcodes is None:
+        use_repcodes = not force_predefined
     ll = np.asarray(lit_lengths, dtype=np.int64)
     ml = np.asarray(match_lengths, dtype=np.int64)
-    ofv = np.asarray(offsets, dtype=np.int64) + 3  # explicit offset_value
+    if use_repcodes:
+        ofv = offset_values(np.asarray(offsets, dtype=np.int64), ll)
+    else:
+        ofv = np.asarray(offsets, dtype=np.int64) + 3  # explicit
 
     ll_codes = tables.ll_code_np(ll)
     ml_codes = tables.ml_code_np(ml)

@@ -35,21 +35,30 @@ class LevelParams:
     # The reference's stateless blocks have no such history, but stock
     # zstd does — parity on multi-block streams requires it.
     window_log: int = 19
+    # General minimum match length: sequences cost ~10 bits + offset
+    # bits while literals cost ~5-6 bits post-Huffman, so short matches
+    # lose except very near (the matcher keeps 4-byte matches <= 1K and
+    # 3-byte <= 64 offsets, and rep continuations at any length; 0 =
+    # adaptive post-parse pruning by measured literal entropy). Stock
+    # zstd's fast levels pick 6-7 for the same economics. Measured: 6
+    # wins at fast levels (-1 ratio point on mixed data), 4 at deep
+    # levels where the lazy search finds quality short matches.
+    mml: int = 6
 
 
 LEVEL_TABLE: dict[int, LevelParams] = {
-    1: LevelParams(2, False, window_log=19),
-    2: LevelParams(4, False, window_log=20),
-    3: LevelParams(8, False, window_log=21),
-    4: LevelParams(16, False, window_log=21),
-    5: LevelParams(8, True, window_log=21),
-    6: LevelParams(16, True, window_log=21),
-    7: LevelParams(32, True, window_log=22),
-    8: LevelParams(48, True, window_log=22),
-    9: LevelParams(64, True, window_log=22),
-    10: LevelParams(96, True, window_log=22),
-    11: LevelParams(128, True, window_log=22),
-    12: LevelParams(256, True, window_log=22),
+    1: LevelParams(2, False, window_log=19, mml=6),
+    2: LevelParams(4, False, window_log=20, mml=6),
+    3: LevelParams(8, False, window_log=21, mml=6),
+    4: LevelParams(16, False, window_log=21, mml=6),
+    5: LevelParams(8, True, window_log=21, mml=4),
+    6: LevelParams(16, True, window_log=21, mml=4),
+    7: LevelParams(32, True, window_log=22, mml=4),
+    8: LevelParams(48, True, window_log=22, mml=4),
+    9: LevelParams(64, True, window_log=22, mml=4),
+    10: LevelParams(96, True, window_log=22, mml=4),
+    11: LevelParams(128, True, window_log=22, mml=4),
+    12: LevelParams(256, True, window_log=22, mml=4),
 }
 
 
@@ -67,7 +76,7 @@ def compress_block_sequences(block: np.ndarray, level: int
     `qatSequenceProducer` (src/qatseqprod.c:1106) minus the hardware."""
     p = level_params(level)
     return matcher.find_sequences(block, chain_depth=p.chain_depth,
-                                  lazy=p.lazy)
+                                  lazy=p.lazy, mml=p.mml)
 
 
 def compress(data: bytes | np.ndarray, level: int = 1,

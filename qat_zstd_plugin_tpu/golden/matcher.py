@@ -32,9 +32,11 @@ def _hash4(v: int) -> int:
 
 
 def find_sequences(block: np.ndarray, chain_depth: int = 8,
-                   lazy: bool = False, max_offset: int | None = None
-                   ) -> BlockSequences:
-    """Greedy/lazy hash-chain match search over one block."""
+                   lazy: bool = False, max_offset: int | None = None,
+                   mml: int = 4) -> BlockSequences:
+    """Greedy/lazy hash-chain match search over one block. mml is the
+    general minimum match length (short matches only pay near; native
+    parity)."""
     data = np.asarray(block, dtype=np.uint8)
     n = len(data)
     if max_offset is None:
@@ -82,26 +84,44 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
         # Cost floor, mirroring the native matcher: short matches only
         # pay for themselves near (a sequence costs ~10 bits +
         # log2(offset) extra bits).
-        if best_len == MIN_MATCH and best_off > 4096:
+        if best_len < mml and not (best_len >= 4 and best_off <= 1024) \
+                and not (best_len == 3 and best_off <= 64):
             return 0, 0
         if best_len < 6 and best_off > 65536:
             return 0, 0
         return best_len, best_off
+
+    def rep_probe(pos: int, rep: int) -> int:
+        """LCP at the previous sequence's offset (cheap rep continuation;
+        native-matcher parity)."""
+        if rep == 0 or pos < rep:
+            return 0
+        limit = n - pos
+        l = 0
+        while l < limit and buf[pos - rep + l] == buf[pos + l]:
+            l += 1
+        return l
 
     lls, offs, mls = [], [], []
     lit_start = 0
     insert(0)
     inserted_up_to = 1  # positions [0, inserted_up_to) are in the chains
     pos = 1
+    rep = 0
     while pos < n:
         length, off = best_match(pos)
+        lr = rep_probe(pos, rep)
+        took_rep = False
+        if lr >= 3 and lr + 2 >= length:
+            length, off = lr, rep
+            took_rep = True
         if length == 0:
             if pos >= inserted_up_to:
                 insert(pos)
                 inserted_up_to = pos + 1
             pos += 1
             continue
-        if lazy and pos + 1 < n:
+        if lazy and pos + 1 < n and not took_rep:
             if pos >= inserted_up_to:
                 insert(pos)
                 inserted_up_to = pos + 1
@@ -121,6 +141,7 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
         lls.append(pos - lit_start)
         offs.append(off)
         mls.append(length)
+        rep = off
         end = pos + length
         # Insert match-covered positions (sampled on very long matches).
         step = 1 if length <= 64 else max(1, length // 32)

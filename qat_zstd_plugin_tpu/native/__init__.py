@@ -59,8 +59,8 @@ def _load():
     lib.qz_find_sequences.restype = ctypes.c_size_t
     lib.qz_find_sequences.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
-        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_size_t, ctypes.c_void_p]
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
     lib.qz_block_body_external_seqsec.restype = ctypes.c_size_t
     lib.qz_block_body_external_seqsec.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
@@ -74,7 +74,8 @@ def _load():
     lib.qz_compress_blocks_mt.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p]
     lib.qz_xxh64_state_size.restype = ctypes.c_size_t
     lib.qz_xxh64_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.qz_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -146,7 +147,8 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
 def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,
                        lazy: bool, allow_custom: bool = True,
                        try_huffman: bool = True, window_log: int = 0,
-                       nthreads: int = 0) -> list[bytes | None]:
+                       mml: int = 4, nthreads: int = 0
+                       ) -> list[bytes | None]:
     """Match + extend + entropy for every block of `buf` in one native
     call with an internal thread pool. None entries => emit raw.
     window_log > 0 enables cross-block window context (offsets reach back
@@ -162,7 +164,7 @@ def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,
     arena = np.empty(nblocks * block_size, np.uint8)
     sizes = np.zeros(nblocks, np.uint32)
     lib.qz_compress_blocks_mt(
-        buf.ctypes.data, n, block_size, chain_depth, int(lazy),
+        buf.ctypes.data, n, block_size, chain_depth, int(lazy), mml,
         int(allow_custom), int(try_huffman), window_log, nthreads,
         arena.ctypes.data, sizes.ctypes.data)
     out: list[bytes | None] = []
@@ -217,7 +219,8 @@ def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
 
 
 def find_sequences(block: np.ndarray, chain_depth: int, lazy: bool,
-                   cap: int | None = None, ctx_len: int = 0):
+                   cap: int | None = None, ctx_len: int = 0,
+                   mml: int = 4):
     """Native hash-chain matcher. `block` = ctx_len context bytes + the
     block itself; matches may reference the context (cross-block window).
     Returns (lit, off, ml, last_literals) covering the block only."""
@@ -232,7 +235,7 @@ def find_sequences(block: np.ndarray, chain_depth: int, lazy: bool,
     ml = np.empty(cap, np.uint32)
     lastlit = ctypes.c_uint32(0)
     got = lib.qz_find_sequences(
-        block.ctypes.data, ctx_len, n, chain_depth, int(lazy),
+        block.ctypes.data, ctx_len, n, chain_depth, int(lazy), mml,
         ll.ctypes.data, of.ctypes.data, ml.ctypes.data, cap,
         ctypes.byref(lastlit))
     if got == ctypes.c_size_t(-1).value:

@@ -910,12 +910,61 @@ bool encode_sequences_section(const uint32_t* lit_lens,
   }
   if (n == 0) return true;
 
+  // offset_value stream with repcode compression (RFC 8878
+  // §3.1.1.3.2.1.1; mirrors format/sequences.py offset_values): values
+  // 1-3 name recent-offset slots. Incoming cross-block rep state is
+  // unknown (blocks encode in parallel), so a slot is only used once
+  // locally determined by explicit pushes.
+  std::vector<uint32_t> ofvs(n);
+  {
+    uint32_t reps[3] = {1, 4, 8};
+    int known = 0;
+    for (size_t i = 0; i < n; ++i) {
+      uint32_t off = offsets[i];
+      uint32_t ll = lit_lens[i];
+      uint32_t v = 0;
+      if (ll != 0) {
+        if (known >= 1 && off == reps[0]) {
+          v = 1;
+        } else if (known >= 2 && off == reps[1]) {
+          v = 2;
+          uint32_t t[3] = {reps[1], reps[0], reps[2]};
+          std::memcpy(reps, t, sizeof t);
+        } else if (known >= 3 && off == reps[2]) {
+          v = 3;
+          uint32_t t[3] = {reps[2], reps[0], reps[1]};
+          std::memcpy(reps, t, sizeof t);
+        }
+      } else {
+        if (known >= 2 && off == reps[1]) {
+          v = 1;
+          uint32_t t[3] = {reps[1], reps[0], reps[2]};
+          std::memcpy(reps, t, sizeof t);
+        } else if (known >= 3 && off == reps[2]) {
+          v = 2;
+          uint32_t t[3] = {reps[2], reps[0], reps[1]};
+          std::memcpy(reps, t, sizeof t);
+        } else if (known >= 1 && off + 1 == reps[0] && off > 0) {
+          v = 3;
+          uint32_t t[3] = {off, reps[0], reps[1]};
+          std::memcpy(reps, t, sizeof t);
+          known = known < 3 ? known + 1 : 3;  // pushes a new value
+        }
+      }
+      if (v == 0) {
+        v = off + 3;
+        uint32_t t[3] = {off, reps[0], reps[1]};
+        std::memcpy(reps, t, sizeof t);
+        known = known < 3 ? known + 1 : 3;
+      }
+      ofvs[i] = v;
+    }
+  }
   std::vector<int> llc(n), ofc(n), mlc(n);
   for (size_t i = 0; i < n; ++i) {
     llc[i] = ll_code(lit_lens[i]);
     mlc[i] = ml_code(match_lens[i]);
-    uint32_t ofv = offsets[i] + 3;
-    ofc[i] = highbit(ofv);
+    ofc[i] = highbit(ofvs[i]);
   }
   TablePlan llp, ofp, mlp;
   if (!plan_table(llc, 0, 9, allow_custom, &llp)) return false;
@@ -943,8 +992,7 @@ bool encode_sequences_section(const uint32_t* lit_lens,
   auto add_extra = [&](size_t i) {
     w.add(lit_lens[i] - LL_BASE[llc[i]], LL_BITS[llc[i]]);
     w.add(match_lens[i] - ML_BASE[mlc[i]], ML_BITS[mlc[i]]);
-    uint32_t ofv = offsets[i] + 3;
-    w.add(ofv - (1u << ofc[i]), ofc[i]);
+    w.add(ofvs[i] - (1u << ofc[i]), ofc[i]);
   };
   add_extra(n - 1);
   for (size_t ii = n - 1; ii-- > 0;) {
@@ -1015,9 +1063,56 @@ static const uint32_t HASH_MUL = 2654435761u;
 // window gives its matcher; the caller sizes ctx_len so every offset stays
 // within the frame's declared window. ctx_len == 0 is the reference's
 // stateless per-block mode (src/qatseqprod.c:941).
+// Adaptive sequence pruning: drop matches whose estimated bit cost
+// exceeds the literals they replace, using the block's measured byte
+// entropy as the literal cost. This is how a fixed minimum-match length
+// becomes content-adaptive: text (cheap 4-byte matches pay off) keeps
+// them, high-entropy structured data (where short matches fragment the
+// code streams for little gain) sheds them.
+static void prune_sequences(const uint8_t* block, size_t n,
+                            std::vector<Sequence>* seqs,
+                            uint32_t* last_literals) {
+  if (seqs->empty()) return;
+  uint32_t hist[256] = {0};
+  for (size_t i = 0; i < n; i += 2) ++hist[block[i]];  // sampled histogram
+  double total = 0, bits = 0;
+  for (int i = 0; i < 256; ++i) total += hist[i];
+  for (int i = 0; i < 256; ++i)
+    if (hist[i]) bits -= hist[i] * std::log2(hist[i] / total);
+  double lit_bits = total > 0 ? bits / total : 8.0;
+  if (lit_bits < 2.0) lit_bits = 2.0;
+  // Marginal cost of one sequence: LL+ML+OF code symbols through FSE
+  // (~9 bits combined) plus the offset's extra bits; rep continuations
+  // (offset == previous) cost ~1 bit of offset code instead.
+  const double SEQ_BASE = 9.0;
+  size_t out = 0;
+  uint64_t pend = 0;
+  uint32_t prev_off = 0;
+  for (size_t i = 0; i < seqs->size(); ++i) {
+    Sequence s = (*seqs)[i];
+    double of_bits = s.offset == prev_off
+                         ? 1.0
+                         : static_cast<double>(highbit(s.offset + 3));
+    double cost = SEQ_BASE + of_bits;
+    if (s.match_len * lit_bits < cost) {
+      pend += s.lit_len + s.match_len;  // drop: bytes become literals
+      continue;
+    }
+    s.lit_len += static_cast<uint32_t>(pend);
+    pend = 0;
+    prev_off = s.offset;
+    (*seqs)[out++] = s;
+  }
+  *last_literals += static_cast<uint32_t>(pend);
+  seqs->resize(out);
+}
+
 void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
-                    int chain_depth, bool lazy, std::vector<Sequence>* seqs,
-                    uint32_t* last_literals) {
+                    int chain_depth, bool lazy, int mml,
+                    std::vector<Sequence>* seqs, uint32_t* last_literals) {
+  bool adaptive = mml <= 0;
+  if (adaptive) mml = 4;
+  if (mml < 3) mml = 3;
   seqs->clear();
   if (n < 5) {
     *last_literals = static_cast<uint32_t>(n);
@@ -1057,11 +1152,16 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
       cand = prev[cand];
       --depth;
     }
-    // Cost floor: a sequence costs ~10 bits + log2(offset) extra bits, so
-    // short matches at far offsets are net losses.
-    if (best < 3 || (best == 3 && boff > 4096) ||
-      (best < 6 && boff > 65536))
+    // Cost floor: a sequence costs ~10 bits + log2(offset) extra bits
+    // while literals cost ~5-6 bits/byte post-Huffman, so short matches
+    // are net losses except very near. mml is the level's general
+    // minimum (stock zstd's fast levels use 6-7 for the same reason);
+    // near offsets earn exceptions, rep continuations bypass this
+    // entirely via rep_probe.
+    if (best < static_cast<size_t>(mml) &&
+        !(best >= 4 && boff <= 1024) && !(best == 3 && boff <= 64))
       return 0;
+    if (best < 6 && boff > 65536) return 0;
     *off = boff;
     return best;
   };
@@ -1076,6 +1176,22 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
   size_t inserted_up_to = ctx_len + 1;
   size_t pos = ctx_len + 1;
   size_t safe_end = total - 4;  // last position with a full 4-byte window
+  uint32_t rep = 0;  // previous sequence's offset (the decoder's rep1)
+  // Rep probe: continuing the previous offset costs ~1 bit of offset
+  // code vs ~log2(off) for an explicit one, so even a 3-byte rep match
+  // beats literals and a rep match within 2 bytes of the chain's best
+  // wins (stock zstd's matchers embed the same preference).
+  auto rep_probe = [&](size_t p, size_t* lr) -> bool {
+    if (rep == 0 || p < static_cast<size_t>(rep)) return false;
+    size_t limit = total - p;
+    const uint8_t* bptr = base + p;
+    const uint8_t* aptr = bptr - rep;
+    size_t l = 0;
+    while (l + 8 <= limit && rd64(aptr + l) == rd64(bptr + l)) l += 8;
+    while (l < limit && aptr[l] == bptr[l]) ++l;
+    *lr = l;
+    return l >= 3;
+  };
   while (pos < total) {
     if (pos > safe_end) {
       ++pos;
@@ -1083,6 +1199,11 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     }
     uint32_t off = 0;
     size_t len = best_match(pos, &off);
+    size_t lr = 0;
+    if (rep_probe(pos, &lr) && lr + 2 >= len) {
+      len = lr;
+      off = rep;
+    }
     if (len == 0) {
       if (pos >= inserted_up_to) {
         insert(pos);
@@ -1091,7 +1212,7 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
       ++pos;
       continue;
     }
-    if (lazy && pos + 1 <= safe_end) {
+    if (lazy && pos + 1 <= safe_end && off != rep) {
       if (pos >= inserted_up_to) {
         insert(pos);
         inserted_up_to = pos + 1;
@@ -1117,6 +1238,7 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     }
     seqs->push_back({static_cast<uint32_t>(pos - lit_start), off,
                      static_cast<uint32_t>(len)});
+    rep = off;
     size_t end = pos + len;
     size_t step = len <= 64 ? 1 : std::max<size_t>(1, len / 32);
     size_t p = std::max(inserted_up_to, pos);
@@ -1130,6 +1252,7 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     lit_start = end;
   }
   *last_literals = static_cast<uint32_t>(total - lit_start);
+  if (adaptive) prune_sequences(base + ctx_len, n, seqs, last_literals);
 }
 
 }  // namespace qz
@@ -1370,11 +1493,12 @@ size_t qz_block_body_external_seqsec(
 // blocks). Writes up to cap sequences; returns the count, sets
 // *last_literals. Returns SIZE_MAX on overflow.
 size_t qz_find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
-                         int chain_depth, int lazy, uint32_t* lit_lens,
-                         uint32_t* offsets, uint32_t* match_lens, size_t cap,
+                         int chain_depth, int lazy, int mml,
+                         uint32_t* lit_lens, uint32_t* offsets,
+                         uint32_t* match_lens, size_t cap,
                          uint32_t* last_literals) {
   std::vector<qz::Sequence> seqs;
-  qz::find_sequences(base, ctx_len, n, chain_depth, lazy != 0, &seqs,
+  qz::find_sequences(base, ctx_len, n, chain_depth, lazy != 0, mml, &seqs,
                      last_literals);
   if (seqs.size() > cap) return static_cast<size_t>(-1);
   for (size_t i = 0; i < seqs.size(); ++i) {
@@ -1392,9 +1516,10 @@ size_t qz_find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
 // dst is an arena of nblocks * block_size bytes; body_sizes[i] == 0 means
 // "emit raw" for that block.
 void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
-                           int chain_depth, int lazy, int allow_custom,
-                           int try_huffman, int window_log, int nthreads,
-                           uint8_t* dst, uint32_t* body_sizes) {
+                           int chain_depth, int lazy, int mml,
+                           int allow_custom, int try_huffman,
+                           int window_log, int nthreads, uint8_t* dst,
+                           uint32_t* body_sizes) {
   size_t nblocks = n == 0 ? 0 : (n + block_size - 1) / block_size;
   // Window context per block: raw bytes of earlier blocks, capped so any
   // offset (ctx + in-block position) stays within 1 << window_log. Blocks
@@ -1418,7 +1543,7 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
       size_t ctx = std::min(off, max_ctx);
       uint32_t last_lit = 0;
       qz::find_sequences(src + off - ctx, ctx, len, chain_depth, lazy != 0,
-                         &seqs, &last_lit);
+                         mml, &seqs, &last_lit);
       std::vector<uint32_t> ll(seqs.size()), of(seqs.size()),
           ml(seqs.size());
       for (size_t s = 0; s < seqs.size(); ++s) {

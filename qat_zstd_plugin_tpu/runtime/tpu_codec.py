@@ -271,7 +271,8 @@ class TpuCodec:
                 bodies = native.compress_blocks_mt(
                     buf, bs, gp.chain_depth, gp.lazy,
                     self.params.custom_tables and gp.custom_tables,
-                    self.params.huffman, window_log=gp.window_log)
+                    self.params.huffman, window_log=gp.window_log,
+                    mml=gp.mml)
             per = tm.elapsed / max(1, len(bodies))
             for i, body in enumerate(bodies):
                 self.stats.record(min(n - i * bs, bs),
@@ -338,7 +339,8 @@ class TpuCodec:
                 if use_native:
                     try:
                         ll, of, ml, lastlit = native.find_sequences(
-                            cblk, gp.chain_depth, gp.lazy, ctx_len=ctx)
+                            cblk, gp.chain_depth, gp.lazy, ctx_len=ctx,
+                            mml=gp.mml)
                         seqs = BlockSequences(ll, of, ml, lastlit)
                     except OverflowError:
                         return None
