@@ -73,3 +73,61 @@ def gather_compressed(mesh, padded: np.ndarray, sizes: np.ndarray
     gp = np.asarray(gp)
     gs = np.asarray(gs)
     return [gp[i, :gs[i]].tobytes() for i in range(len(gs))]
+
+
+def gather_rows(mesh, padded: np.ndarray, sizes: np.ndarray,
+                ids: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All-gather per-process (padded, sizes, ids) row sets.
+
+    Multi-process: each process contributes its local rows (counts may
+    differ; rows are padded to the max count with id -1) and every
+    process returns the union. Single-process: the rows ride a device
+    all-gather over the mesh (shard -> replicate constraint), exercising
+    the same collective the multi-host path uses over ICI/DCN.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        counts = multihost_utils.process_allgather(
+            np.asarray([len(ids)], np.int32))
+        m = int(counts.max())
+        pad_r = m - len(ids)
+        if pad_r:
+            padded = np.vstack([padded,
+                                np.zeros((pad_r, padded.shape[1]),
+                                         np.uint8)])
+            sizes = np.concatenate([sizes, np.full(pad_r, -1, np.int32)])
+            ids = np.concatenate([ids, np.full(pad_r, -1, np.int32)])
+        gp = multihost_utils.process_allgather(padded, tiled=True)
+        gs = multihost_utils.process_allgather(sizes, tiled=True)
+        gi = multihost_utils.process_allgather(ids, tiled=True)
+        keep = gi >= 0
+        return gp[keep], gs[keep], gi[keep]
+
+    # Single process: pad the row count to a mesh multiple and run the
+    # shard->replicate collective.
+    nm = int(mesh.devices.size)
+    rows = len(ids)
+    pad_r = (-rows) % nm
+    if pad_r:
+        padded = np.vstack([padded, np.zeros((pad_r, padded.shape[1]),
+                                             np.uint8)])
+        sizes = np.concatenate([sizes, np.full(pad_r, -1, np.int32)])
+        ids = np.concatenate([ids, np.full(pad_r, -1, np.int32)])
+    in_sh = (NamedSharding(mesh, P(AXIS, None)),
+             NamedSharding(mesh, P(AXIS)), NamedSharding(mesh, P(AXIS)))
+    rep2 = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+
+    @functools.partial(jax.jit, in_shardings=in_sh,
+                       out_shardings=(rep2, rep1, rep1))
+    def gather(p, s, i):
+        return (jax.lax.with_sharding_constraint(p, rep2),
+                jax.lax.with_sharding_constraint(s, rep1),
+                jax.lax.with_sharding_constraint(i, rep1))
+
+    gp, gs, gi = gather(jnp.asarray(padded), jnp.asarray(sizes),
+                        jnp.asarray(ids))
+    gp, gs, gi = np.asarray(gp), np.asarray(gs), np.asarray(gi)
+    keep = gi >= 0
+    return gp[keep], gs[keep], gi[keep]
