@@ -98,7 +98,9 @@ def main() -> None:
                                       max_seq=16384, parser=parser,
                                       lazy=params.lazy,
                                       stride=params.stride,
-                                      window=params.window)
+                                      window=params.window,
+                                      matcher=params.matcher,
+                                      widths=params.widths)
 
     # block_until_ready returns early over the tunneled relay, so time a
     # dependent chain of K reps closed by a real scalar fetch, and subtract

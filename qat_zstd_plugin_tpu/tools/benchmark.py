@@ -9,9 +9,16 @@ benchmark.c:79).
 
 Flags mirror the reference (benchmark.c:171-184): -t threads, -l level,
 -c chunk KB, -m mode, -E repcode policy, -L loops. Mode 0 = software
-(native CPU path), 1 = device offload, 2 = stock libzstd (extra A/B).
--E is accepted for CLI parity but a no-op: this codec always emits
-explicit offsets (no repcode search).
+(native CPU path), 1 = device offload, 2 = stock libzstd (extra A/B),
+3 = stock libzstd driving our registered sequence producer (the
+reference's deployment shape, test/test.c:103-116) — mode 3 is where -E
+maps directly to ZSTD_c_searchForExternalRepcodes like the reference's
+flag; modes 0/1 emit repcodes natively in their own entropy stage.
+
+-t uses Python threads: native/entropy calls drop the GIL but the Python
+orchestration serializes, so per-thread numbers under -t overlap. For a
+true concurrency test use -P/--processes (separate interpreters, the
+reference's thread-per-CCtx pressure via processes).
 """
 
 from __future__ import annotations
@@ -93,8 +100,12 @@ def _worker(tid: int, args, data: bytes, hist: Histogram,
         elif args.mode == 0:
             codec = TpuCodec(level=args.level, use_device=False)
             compress = lambda c: codec.compress(c)  # noqa: E731
-        else:
+        elif args.mode == 2:
             compress = lambda c: oracle.compress(c, args.level)  # noqa: E731
+        else:
+            import qat_zstd_plugin_tpu as qz
+            compress = lambda c: qz.compress_via_libzstd(  # noqa: E731
+                c, level=args.level, search_repcodes=args.repcodes > 0)
         compress(chunks[0])  # warm-up / compile outside the timed phase
 
         try:
@@ -148,10 +159,18 @@ def run(argv=None) -> int:
     ap.add_argument("-c", "--chunk-kb", type=int, default=128,
                     help="chunk size in KiB (reference -c)")
     ap.add_argument("-m", "--mode", type=int, default=1,
-                    help="0=software(native) 1=device 2=stock-libzstd")
+                    help="0=software(native) 1=device 2=stock-libzstd "
+                         "3=libzstd+our-producer")
     ap.add_argument("-E", "--repcodes", type=int, default=0,
-                    help="accepted for parity; explicit offsets always")
+                    help="mode 3: ZSTD_c_searchForExternalRepcodes "
+                         "(reference -E); modes 0/1 always emit repcodes "
+                         "natively")
     ap.add_argument("-L", "--loops", type=int, default=1)
+    ap.add_argument("-P", "--processes", type=int, default=0,
+                    help="aggregate over N separate interpreter processes "
+                         "(true concurrency; no GIL sharing)")
+    ap.add_argument("--json", action="store_true",
+                    help="print one JSON result line (machine readable)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--histogram", action="store_true",
                     help="dump the full latency histogram (reference "
@@ -160,6 +179,9 @@ def run(argv=None) -> int:
                     help="run the full L1-L12 level sweep (the reference "
                          "benchmark's per-level loop)")
     args = ap.parse_args(argv)
+
+    if args.processes > 1:
+        return _run_multiprocess(args)
 
     if args.sweep:
         rc = 0
@@ -197,6 +219,13 @@ def run(argv=None) -> int:
     agg = sum(r.comp_mbs for r in results if r)
     print(f"aggregate compress: {agg:.1f} MB/s over {args.threads} threads "
           f"({wall:.1f}s wall)")
+    if args.json:
+        import json
+        print(json.dumps({
+            "ok": ok, "aggregate_mbs": round(agg, 2),
+            "ratio": results[0].ratio if results[0] else None,
+            "decomp_mbs": round(sum(r.decomp_mbs for r in results if r), 2),
+            "latency_us": hist.summary(), "threads": args.threads}))
     s = hist.summary()
     if s:
         print("chunk latency us: "
@@ -208,6 +237,39 @@ def run(argv=None) -> int:
             if hist.buckets[i]:
                 print(f"  <= {hist.edges[i]:10.1f} us: "
                       f"{int(hist.buckets[i])}")
+    return 0 if ok else 1
+
+
+def _run_multiprocess(args) -> int:
+    """Aggregate throughput over N independent interpreter processes —
+    the reference's 2048-pthread contention test (benchmark.c:439-441,
+    514-520) without GIL serialization. Each child runs the full
+    single-process benchmark and reports JSON; the parent sums."""
+    import json
+    import subprocess
+    import sys as _sys
+    cmd_base = [_sys.executable, "-m", "qat_zstd_plugin_tpu.tools.benchmark",
+                args.file, "-t", str(args.threads), "-l", str(args.level),
+                "-c", str(args.chunk_kb), "-m", str(args.mode),
+                "-E", str(args.repcodes), "-L", str(args.loops),
+                "--batch", str(args.batch), "--json"]
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen(cmd_base, stdout=subprocess.PIPE)
+             for _ in range(args.processes)]
+    outs = [p.communicate()[0].decode() for p in procs]
+    wall = time.perf_counter() - t0
+    ok = all(p.returncode == 0 for p in procs)
+    agg = 0.0
+    for i, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if ln.startswith("{")]
+        r = json.loads(line[-1]) if line else {"ok": False,
+                                               "aggregate_mbs": 0}
+        ok &= bool(r.get("ok"))
+        agg += r.get("aggregate_mbs", 0)
+        print(f"process {i}: {r.get('aggregate_mbs', 0):.1f} MB/s "
+              f"{'PASS' if r.get('ok') else 'FAIL'}")
+    print(f"aggregate compress: {agg:.1f} MB/s over {args.processes} "
+          f"processes x {args.threads} threads ({wall:.1f}s wall)")
     return 0 if ok else 1
 
 
