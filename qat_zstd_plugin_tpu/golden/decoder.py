@@ -272,7 +272,8 @@ def _decode_literals(data: bytes, state: _SeqTables
 
 
 def _execute(literals: np.ndarray, seqs: list[tuple[int, int, int]],
-             window: list, out: bytearray, reps: list[int]) -> None:
+             window_size: int | None, out: bytearray,
+             reps: list[int]) -> None:
     lpos = 0
     for ll, of_val, ml in seqs:
         out += literals[lpos:lpos + ll].tobytes()
@@ -297,6 +298,8 @@ def _execute(literals: np.ndarray, seqs: list[tuple[int, int, int]],
                 reps[:] = [offset, reps[0], reps[1]]
         if offset > len(out):
             raise DecodeError("offset beyond window")
+        if window_size is not None and offset > window_size:
+            raise DecodeError("offset exceeds declared window")
         for _ in range(ml):
             out.append(out[len(out) - offset])
     out += literals[lpos:].tobytes()
@@ -326,8 +329,18 @@ def decompress(frame: bytes) -> bytes:
         dict_flag = desc & 3
         if desc & 0x08:
             raise DecodeError("reserved frame descriptor bit set")
+        window_size = None
         if not single_segment:
-            pos += 1  # window descriptor (bound-checked via execution)
+            # Window_Descriptor (RFC 8878 §3.1.1.1.2): enforce it — an
+            # offset reaching past the declared window is corruption even
+            # when the bytes happen to exist in the output so far.
+            wd = frame[pos]
+            exponent = 10 + (wd >> 3)
+            if exponent > 41:
+                raise DecodeError("window too large")
+            base = 1 << exponent
+            window_size = base + (base // 8) * (wd & 7)
+            pos += 1
         if dict_flag:
             raise DecodeError("dictionaries unsupported (reference parity)")
         fcs_len = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
@@ -336,6 +349,7 @@ def decompress(frame: bytes) -> bytes:
         out = bytearray()
         reps = [1, 4, 8]
         state = _SeqTables()
+        self_window = window_size  # None = single-segment (window = FCS)
         while True:
             bh = int.from_bytes(frame[pos:pos + 3], "little")
             pos += 3
@@ -367,7 +381,7 @@ def decompress(frame: bytes) -> bytes:
                     out += literals.tobytes()
                 else:
                     seqs = _decode_sequences(sdata[shdr:], nseq, state)
-                    _execute(literals, seqs, [], out, reps)
+                    _execute(literals, seqs, self_window, out, reps)
             else:
                 raise DecodeError("reserved block type")
             if last:
