@@ -103,20 +103,25 @@ def _make_state_kernel(S: int):
 
     Grid: (S // CHUNK,) column chunks; per-lane states persist in scratch.
     Inputs per chunk (rows = steps j, lanes = blocks):
-      dnb_{ll,of,ml}, dfs_{ll,of,ml}: symbol constants for the seq encoded
-        at step j (reversed order; j=0 row unused for states)
+      c_{ll,of,ml}: symbol codes for the seq encoded at step j (reversed
+        order; j=0 row feeds only the init path)
+      per-lane tables (rows = symbol/state, lanes = blocks):
+        dnb/dfs (64|32|64, B) symbol constants, st (64|32|64, B) state
+        transition tables — per-block CONTENT (custom-table mode builds
+        these per block; predefined mode broadcasts the static ones)
       nseq: (1, B) per-lane sequence counts
-      state tables: (64, 1) ll/ml, (32, 1) of (constant inputs)
     Outputs: state-item lo and nbits per step, plus slots for the flush
       item at j == nseq.
     """
 
-    def kernel(dnb_ll, dfs_ll, dnb_of, dfs_of, dnb_ml, dfs_ml,
-               st_ll, st_of, st_ml, nseq_ref, init_ll, init_of, init_ml,
+    def kernel(c_ll, c_of, c_ml,
+               dnb_ll, dfs_ll, st_ll, dnb_of, dfs_of, st_of,
+               dnb_ml, dfs_ml, st_ml, nseq_ref,
+               init_ll, init_of, init_ml,
                out_lo, out_nb, states_scr):
         step = pl.program_id(0)
-        chunk = dnb_ll.shape[0]
-        B = dnb_ll.shape[1]
+        chunk = c_ll.shape[0]
+        B = c_ll.shape[1]
 
         @pl.when(step == 0)
         def _():
@@ -125,10 +130,12 @@ def _make_state_kernel(S: int):
             states_scr[2, :] = init_ml[0, :]
 
         nseq = nseq_ref[0, :]
-
-        tl = st_ll[...]   # (64, 1)
-        to = st_of[...]   # (32, 1)
-        tm = st_ml[...]   # (64, 1)
+        tl = st_ll[...]
+        to = st_of[...]
+        tm = st_ml[...]
+        dl, fl = dnb_ll[...], dfs_ll[...]
+        do, fo = dnb_of[...], dfs_of[...]
+        dm, fm = dnb_ml[...], dfs_ml[...]
 
         def lookup(tbl, idx, k):
             oh = jax.lax.broadcasted_iota(jnp.int32, (k, B), 0) \
@@ -143,16 +150,24 @@ def _make_state_kernel(S: int):
             active = (j >= 1) & (j < nseq)
             flush = j == nseq
 
+            # Per-lane symbol constants via in-kernel one-hot lookups.
+            dnb_of_i = lookup(do, c_of[i, :], 32)
+            dfs_of_i = lookup(fo, c_of[i, :], 32)
+            dnb_ml_i = lookup(dm, c_ml[i, :], 64)
+            dfs_ml_i = lookup(fm, c_ml[i, :], 64)
+            dnb_ll_i = lookup(dl, c_ll[i, :], 64)
+            dfs_ll_i = lookup(fl, c_ll[i, :], 64)
+
             # Encode order per step: OF state bits, ML, LL.
-            nb_of = jnp.where(active, (s_of + dnb_of[i, :]) >> 16, 0)
+            nb_of = jnp.where(active, (s_of + dnb_of_i) >> 16, 0)
             b_of = s_of & ((1 << nb_of) - 1)
-            n_of = lookup(to, (s_of >> nb_of) + dfs_of[i, :], 32)
-            nb_ml = jnp.where(active, (s_ml + dnb_ml[i, :]) >> 16, 0)
+            n_of = lookup(to, (s_of >> nb_of) + dfs_of_i, 32)
+            nb_ml = jnp.where(active, (s_ml + dnb_ml_i) >> 16, 0)
             b_ml = s_ml & ((1 << nb_ml) - 1)
-            n_ml = lookup(tm, (s_ml >> nb_ml) + dfs_ml[i, :], 64)
-            nb_ll = jnp.where(active, (s_ll + dnb_ll[i, :]) >> 16, 0)
+            n_ml = lookup(tm, (s_ml >> nb_ml) + dfs_ml_i, 64)
+            nb_ll = jnp.where(active, (s_ll + dnb_ll_i) >> 16, 0)
             b_ll = s_ll & ((1 << nb_ll) - 1)
-            n_ll = lookup(tl, (s_ll >> nb_ll) + dfs_ll[i, :], 64)
+            n_ll = lookup(tl, (s_ll >> nb_ll) + dfs_ll_i, 64)
 
             states_scr[0, :] = jnp.where(active, n_ll, s_ll)
             states_scr[1, :] = jnp.where(active, n_of, s_of)
@@ -179,39 +194,43 @@ CHUNK = 512
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_state_kernel(dnbs, dfss, inits, state_tbls, nseq,
+def _run_state_kernel(code_rows, lane_tables, inits, nseq,
                       interpret: bool | None = None):
+    """code_rows: 3 x (S+1, B) reversed code arrays; lane_tables: per
+    stream (dnb (K,B), dfs (K,B), st (size,B)); inits: 3 x (1, B)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    S1, B = dnbs[0].shape  # S+1 rows (room for the flush step)
+    S1, B = code_rows[0].shape  # S+1 rows (room for the flush step)
     chunk = min(CHUNK, S1)
     pad = (-S1) % chunk
     if pad:
-        dnbs = [jnp.pad(a, ((0, pad), (0, 0))) for a in dnbs]
-        dfss = [jnp.pad(a, ((0, pad), (0, 0))) for a in dfss]
+        code_rows = [jnp.pad(a, ((0, pad), (0, 0))) for a in code_rows]
         S1 += pad
     grid = (S1 // chunk,)
     row_spec = pl.BlockSpec((chunk, B), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    tbl_specs = [pl.BlockSpec((64, 1), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((32, 1), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((64, 1), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)]
+
+    def tbl_spec(rows):
+        return pl.BlockSpec((rows, B), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
     one_spec = pl.BlockSpec((1, B), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
+    tbl_args = []
+    tbl_specs = []
+    for (dnb, dfs, st) in lane_tables:
+        for a in (dnb, dfs, st):
+            tbl_args.append(a)
+            tbl_specs.append(tbl_spec(a.shape[0]))
     out = pl.pallas_call(
         _make_state_kernel(S1),
         grid=grid,
-        in_specs=[row_spec] * 6 + tbl_specs + [one_spec] * 4,
+        in_specs=[row_spec] * 3 + tbl_specs + [one_spec] * 4,
         out_specs=[row_spec, row_spec],
         out_shape=[jax.ShapeDtypeStruct((S1, B), jnp.int32)] * 2,
         scratch_shapes=[pltpu.VMEM((3, B), jnp.int32)],
         interpret=interpret,
-    )(dnbs[0], dfss[0], dnbs[1], dfss[1], dnbs[2], dfss[2],
-      state_tbls[0], state_tbls[1], state_tbls[2],
-      nseq, inits[0], inits[1], inits[2])
+    )(*code_rows, *tbl_args, nseq, *inits)
     return out
 
 
@@ -228,15 +247,47 @@ def _init_state(table: fse.EncodeTable, sym: jnp.ndarray) -> jnp.ndarray:
     return _const_lookup(st, idx)
 
 
+def _init_state_lane(dnb_tbl: jnp.ndarray, dfs_tbl: jnp.ndarray,
+                     st_tbl: jnp.ndarray, sym: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized FSE_initCState2 with per-block tables.
+    dnb/dfs: (B, K); st: (B, size); sym: (B,) -> (B,) initial states."""
+    dnb = jnp.take_along_axis(dnb_tbl, sym[:, None], axis=1)[:, 0]
+    dfs = jnp.take_along_axis(dfs_tbl, sym[:, None], axis=1)[:, 0]
+    nb_out = (dnb + (1 << 15)) >> 16
+    value = (nb_out << 16) - dnb
+    idx = jnp.clip((value >> nb_out) + dfs, 0, st_tbl.shape[1] - 1)
+    return jnp.take_along_axis(st_tbl, idx[:, None], axis=1)[:, 0]
+
+
+def _predef_lane_tables(kind: str, B: int, krows: int):
+    """Predefined table content broadcast to per-lane shape."""
+    t = _T[kind]
+    dnb = np.zeros(krows, np.int32)
+    dfs = np.zeros(krows, np.int32)
+    k = len(t.delta_nb_bits)
+    dnb[:k] = np.asarray(t.delta_nb_bits, np.int64).astype(np.int32)
+    dfs[:k] = np.asarray(t.delta_find_state, np.int64).astype(np.int32)
+    st = np.asarray(t.state_table, np.int32)
+    return (jnp.broadcast_to(jnp.asarray(dnb)[None, :], (B, krows)),
+            jnp.broadcast_to(jnp.asarray(dfs)[None, :], (B, krows)),
+            jnp.broadcast_to(jnp.asarray(st)[None, :], (B, len(st))))
+
+
 def encode_sequence_sections(lit_len: jnp.ndarray, offset: jnp.ndarray,
                              match_len: jnp.ndarray, nseq: jnp.ndarray,
-                             max_words: int = 8192):
+                             max_words: int = 8192, custom: bool = False):
     """Device FSE sequence sections for a batch of blocks.
 
     lit_len/offset/match_len: (B, S) int32 (rows < nseq valid).
-    Returns (words (B, max_words), total_bits (B,), overflow (B,)); the
-    host wraps each stream with the nbSeq varint + mode byte 0.
+    Returns (words (B, max_words), total_bits (B,), overflow (B,), plan);
+    the host wraps each stream with the nbSeq varint, the mode byte, and
+    (custom mode) the NCount table descriptions built from plan["norm_*"].
+    custom=True builds per-block FSE tables on device (fse_tables.py) and
+    per-stream chooses custom vs predefined by estimated cost; plan
+    carries "use_*" (B,) bools and "norm_*" (B, K) counts.
     """
+    from . import fse_tables
+
     B, S = lit_len.shape
     srow = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
     valid = srow < nseq[:, None]
@@ -262,22 +313,27 @@ def encode_sequence_sections(lit_len: jnp.ndarray, offset: jnp.ndarray,
     rof_b = r2 & 31
     rof_c = rof_b
 
-    # Symbol constants for the state kernel (rows shifted: step j encodes
-    # reversed row j, valid for 1 <= j < nseq; row 0 feeds the inits).
-    def sym_consts(table, codes):
-        dnb = _const_lookup(np.asarray(table.delta_nb_bits, np.int64)
-                            .astype(np.int32), codes)
-        dfs = _const_lookup(np.asarray(table.delta_find_state, np.int64)
-                            .astype(np.int32), codes)
-        return dnb, dfs
+    # Per-lane tables: custom content where the device plan picks it.
+    plan = {}
 
-    dnb_ll, dfs_ll = sym_consts(_T["ll"], rll_c)
-    dnb_of, dfs_of = sym_consts(_T["of"], rof_c)
-    dnb_ml, dfs_ml = sym_consts(_T["ml"], rml_c)
+    def lane_tables(kind, codes):
+        krows = 32 if kind == "of" else 64
+        if custom:
+            use, norm, mixed = fse_tables.plan_streams(codes, valid, kind)
+            plan[f"use_{kind}"] = use
+            plan[f"norm_{kind}"] = norm
+            pad = krows - mixed["dnb"].shape[1]
+            return (jnp.pad(mixed["dnb"], ((0, 0), (0, pad))),
+                    jnp.pad(mixed["dfs"], ((0, 0), (0, pad))),
+                    mixed["state_table"])
+        return _predef_lane_tables(kind, B, krows)
 
-    init_ll = _init_state(_T["ll"], rll_c[:, 0])[None, :]  # (1, B)? no: (B,)
-    init_of = _init_state(_T["of"], rof_c[:, 0])
-    init_ml = _init_state(_T["ml"], rml_c[:, 0])
+    tb_ll = lane_tables("ll", ll_c)
+    tb_of = lane_tables("of", of_c)
+    tb_ml = lane_tables("ml", ml_c)
+    init_ll = _init_state_lane(*tb_ll, rll_c[:, 0])
+    init_of = _init_state_lane(*tb_of, rof_c[:, 0])
+    init_ml = _init_state_lane(*tb_ml, rml_c[:, 0])
 
     # Kernel wants (S+1, B) row-major with steps on rows.
     def to_rows(a):
@@ -285,16 +341,11 @@ def encode_sequence_sections(lit_len: jnp.ndarray, offset: jnp.ndarray,
         return a.T
 
     out_lo, out_nb = _run_state_kernel(
-        [to_rows(dnb_ll), to_rows(dnb_of), to_rows(dnb_ml)],
-        [to_rows(dfs_ll), to_rows(dfs_of), to_rows(dfs_ml)],
+        [to_rows(rll_c), to_rows(rof_c), to_rows(rml_c)],
+        [tuple(a.T for a in tb_ll), tuple(a.T for a in tb_of),
+         tuple(a.T for a in tb_ml)],
         [init_ll.reshape(1, B), init_of.reshape(1, B),
          init_ml.reshape(1, B)],
-        [jnp.asarray(np.asarray(_T["ll"].state_table, np.int32))
-         .reshape(64, 1),
-         jnp.asarray(np.asarray(_T["of"].state_table, np.int32))
-         .reshape(32, 1),
-         jnp.asarray(np.asarray(_T["ml"].state_table, np.int32))
-         .reshape(64, 1)],
         nseq.reshape(1, B).astype(jnp.int32))
     S1 = S + 1
     state_lo = out_lo[:S1].T   # (B, S+1)
@@ -330,4 +381,6 @@ def encode_sequence_sections(lit_len: jnp.ndarray, offset: jnp.ndarray,
     items_hi = jnp.stack([jnp.zeros_like(state_lo), ex_hi],
                          axis=2).reshape(B, 2 * S1)
     items_nb = jnp.stack([state_nb, ex_nb], axis=2).reshape(B, 2 * S1)
-    return bitpack.bitpack(items_lo, items_hi, items_nb, max_words)
+    words, bits, over = bitpack.bitpack(items_lo, items_hi, items_nb,
+                                        max_words)
+    return words, bits, over, plan

@@ -797,7 +797,8 @@ def unpack_outputs_wide(packed: np.ndarray) -> dict:
 def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
                              max_seq: int = 16384, parser: str = "scan",
                              lazy: bool = False, seq_words: int = 8192,
-                             stride: int = 1, window: int = 1 << 30):
+                             stride: int = 1, window: int = 1 << 30,
+                             custom_tables: bool = True):
     """Pipeline + on-device FSE sequence-section encoding (hybrid entropy:
     the accelerator emits finished Sequences_Section bitstreams, the host
     adds literals sections — shrinking the device->host return path to the
@@ -811,11 +812,11 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
     mlen, moff = _candidates_jit(blocks, lengths, neighbors, stride, window)
     chosen = _parse_jit(mlen, parser, lazy)
     out = _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq, window)
-    words, bits, sec_over = fse_kernel.encode_sequence_sections(
+    words, bits, sec_over, plan = fse_kernel.encode_sequence_sections(
         out["lit_len"], out["offset"], out["match_len"], out["nseq"],
-        max_words=seq_words)
+        max_words=seq_words, custom=custom_tables)
     packed = _pack_wide_jit(out, max_seq)
-    return packed, words, bits, sec_over
+    return packed, words, bits, sec_over, plan
 
 
 def unpack_outputs(packed: np.ndarray) -> dict:

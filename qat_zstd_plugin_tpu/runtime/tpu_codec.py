@@ -165,7 +165,8 @@ class TpuCodec:
                         blocks, lengths, neighbors=self.params.neighbors,
                         max_seq=self.max_seq, parser=parser,
                         lazy=self.params.lazy, stride=self.params.stride,
-                        window=self.params.window)
+                        window=self.params.window,
+                        custom_tables=self.params.custom_tables)
             else:
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_packed(
@@ -205,11 +206,12 @@ class TpuCodec:
         from ..ops import bitpack, match_pipeline
         b, result = handle
         if self.device_entropy:
-            packed, words, bits, sec_over = result
+            packed, words, bits, sec_over, plan = result
             out = match_pipeline.unpack_outputs_wide(np.asarray(packed))
             words = np.asarray(words)
             bits = np.asarray(bits)
             sec_over = np.asarray(sec_over)
+            plan = {k: np.asarray(v) for k, v in plan.items()}
             res = []
             for i in range(b):
                 if bool(out["overflow"][i]) or bool(sec_over[i]):
@@ -227,8 +229,28 @@ class TpuCodec:
                 if ns == 0:
                     res.append((seqs, None))  # host encodes the 0-seq case
                     continue
+                from ..format import fse as fse_fmt
+                from ..format import tables as fmt_tables
                 from ..format.sequences import nbseq_header
-                sec = (nbseq_header(ns) + b"\x00"
+                # Symbol_Compression_Modes byte + table descriptions for
+                # streams the device encoded with custom tables (the
+                # norm counts ride back with the batch; NCount is a few
+                # bytes of serial varint work, host-side by design).
+                mode = 0
+                desc = b""
+                if plan:
+                    for shift, kind, al in ((6, "ll",
+                                             fmt_tables.LL_DEFAULT_ACCURACY),
+                                            (4, "of",
+                                             fmt_tables.OF_DEFAULT_ACCURACY),
+                                            (2, "ml",
+                                             fmt_tables.ML_DEFAULT_ACCURACY)):
+                        if bool(plan[f"use_{kind}"][i]):
+                            mode |= 2 << shift
+                            desc += fse_fmt.write_ncount(
+                                [int(x) for x in plan[f"norm_{kind}"][i]],
+                                al)
+                sec = (nbseq_header(ns) + bytes([mode]) + desc
                        + bitpack.backward_stream_bytes(words[i],
                                                        int(bits[i])))
                 res.append((seqs, sec))

@@ -75,9 +75,13 @@ def test_device_path_l9_ratio(corpus):
 
 
 def test_device_entropy_ratio(corpus):
-    r = _ratio(TpuCodec(level=1, batch=4, use_device=True,
-                        device_entropy=True), corpus)
-    assert r < 0.35, r
+    # Custom per-block FSE tables on device (fse_tables.py) — must stay
+    # within a point of the host-entropy path (VERDICT #4 gate; was 35%
+    # with predefined-only tables).
+    c = TpuCodec(level=1, batch=4, use_device=True, device_entropy=True)
+    r = _ratio(c, corpus)
+    assert c.fallback_batches == 0
+    assert r < 0.30, r
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")

@@ -74,7 +74,7 @@ def test_fse_sections_byte_identical(seed, counts):
         of[b, :n] = rng.integers(1, 130000, n)
         ml[b, :n] = rng.integers(3, 70000, n) if seed == 1 else \
             rng.integers(3, 500, n)
-    words, total, over = fse_kernel.encode_sequence_sections(
+    words, total, over, _plan = fse_kernel.encode_sequence_sections(
         jnp.asarray(ll), jnp.asarray(of), jnp.asarray(ml),
         jnp.asarray(np.array(counts, np.int32)), max_words=4096)
     assert not np.asarray(over).any()
