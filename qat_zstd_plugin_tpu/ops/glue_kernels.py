@@ -1,0 +1,267 @@
+"""Hand-fused Pallas glue kernels for the hash-matcher pipeline.
+
+The candidates stage is elementwise-pass-bound: XLA materializes most of
+the ~20 intermediate (B, 128K) arrays between the sorts, and (measured)
+feeding a sort from a fused XLA elementwise producer also knocks the
+sort off its fast path (~0.45 vs ~0.15 ms/Melem). Pallas producers do
+not: key-build in a kernel + sort measured 0.19 ms/Melem total. So the
+pipeline becomes kernel A -> sort -> kernel B -> sort -> kernel C with
+exactly one HBM read and write per stage:
+
+  A: block bytes -> packed (hash << pbits | pos) sort keys, per width
+  B: sorted keys -> nearest-equal-hash offsets -> un-sort keys
+  C: un-sorted offsets (all widths) + block bytes -> chain-doubled
+     length estimates, cross-width merge, offset-1 run scan, cost
+     filter -> (mlen, moff)
+
+Semantics are identical to match_pipeline.candidates_hash (differential
+test on small shapes); that XLA implementation remains the CPU-backend
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _rows(n: int) -> int:
+    """Block rows per grid step: Mosaic requires the row-block dimension
+    to be divisible by 8 or equal to the full array dimension, so tile 8
+    rows when possible and otherwise run the whole batch in one step."""
+    return 8 if n % 8 == 0 else n
+
+
+def _hash_tile(x: jnp.ndarray, width: int, n: int, hbits: int
+               ) -> jnp.ndarray:
+    """hbits-bit hash of the width-byte gram; x: (rows, n+16) uint32."""
+    C1 = jnp.uint32(2654435761)
+    C2 = jnp.uint32(2246822519)
+    C3 = jnp.uint32(3266489917)
+
+    def word(shift: int) -> jnp.ndarray:
+        return ((x[:, shift:shift + n] << 24)
+                | (x[:, shift + 1:shift + 1 + n] << 16)
+                | (x[:, shift + 2:shift + 2 + n] << 8)
+                | (x[:, shift + 3:shift + 3 + n]))
+
+    w0 = word(0)
+    if width == 4:
+        h = w0 * C1
+    elif width == 5:
+        h = (w0 * C1) ^ ((x[:, 4:4 + n] * C2) << 11)
+    elif width == 6:
+        w1 = (x[:, 4:4 + n] << 8) | x[:, 5:5 + n]
+        h = (w0 * C1) ^ (w1 * C2)
+    elif width == 8:
+        h = (w0 * C1) ^ (word(4) * C2) * C3
+    else:
+        raise ValueError(f"unsupported hash width {width}")
+    return h >> (32 - hbits)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "window",
+                                             "interpret"))
+def hash_keys(blocks: jnp.ndarray, width: int, window: int,
+              interpret: bool | None = None) -> jnp.ndarray:
+    """(B, N) uint8 -> (B, N) uint32 packed (hash << pbits | segment pos)
+    sort keys. Reads each block row once."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    hbits = 32 - pbits
+    xp = jnp.pad(blocks, ((0, 0), (0, 16)))
+    rows = _rows(B)
+
+    def kernel(x_ref, out_ref):
+        x = x_ref[...].astype(jnp.uint32)
+        h = _hash_tile(x, width, N, hbits)
+        pos = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
+            & jnp.uint32(w - 1)
+        out_ref[...] = (h << pbits) | pos
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((rows, N + 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(xp)
+
+
+@functools.partial(jax.jit, static_argnames=("pbits", "neighbors",
+                                             "interpret"))
+def neighbor_unsort_keys(sk: jnp.ndarray, pbits: int, neighbors: int = 1,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """Sorted keys (R, w) -> un-sort keys (pos << hbits | offset): the
+    nearest previous equal-hash entry claims offset pos - prev."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R, w = sk.shape
+    hbits = 32 - pbits
+    pmask = w - 1  # python int: folded as an immediate
+    rows = _rows(R)
+
+    def kernel(sk_ref, out_ref):
+        s = sk_ref[...]
+        sh = s >> pbits
+        sp = s & pmask
+        off = jnp.zeros_like(s)
+        for k in range(1, neighbors + 1):
+            ph = jnp.concatenate(
+                [jnp.full((rows, k), 0xFFFFFFFF, jnp.uint32),
+                 sh[:, :-k]], axis=1)
+            pp = jnp.concatenate(
+                [jnp.zeros((rows, k), jnp.uint32), sp[:, :-k]], axis=1)
+            eq = (sh == ph) & (pp < sp)
+            off = jnp.where((off == 0) & eq, sp - pp, off)
+        out_ref[...] = (s << hbits) | off
+
+    return pl.pallas_call(
+        kernel,
+        grid=(R // rows,),
+        in_specs=[pl.BlockSpec((rows, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, w), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(sk)
+
+
+@functools.partial(jax.jit, static_argnames=("widths", "window",
+                                             "chain_steps", "interpret"))
+def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
+                        lengths: jnp.ndarray, widths: tuple, window: int,
+                        chain_steps: int = 2,
+                        interpret: bool | None = None):
+    """Per-width un-sorted key arrays + block bytes -> (mlen, moff).
+
+    Chain-doubled true-length estimation, cross-width merge (longer est
+    first, then nearer), offset-1 run scan (exact, 14-step doubling),
+    and the cost filter — candidates_hash semantics in one VMEM pass.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    omask = (1 << pbits) - 1  # python int: folded as an immediate
+    rows = _rows(B)
+
+    def kernel(*refs):
+        su_refs = refs[:len(widths)]
+        x_ref = refs[len(widths)]
+        len_ref = refs[len(widths) + 1]
+        mlen_ref, moff_ref = refs[len(widths) + 2:]
+        blen = len_ref[...][:, :1]  # (rows, 1)
+
+        mlen = jnp.zeros((rows, N), jnp.int32)
+        moff = jnp.zeros((rows, N), jnp.int32)
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        for su_ref, width in zip(su_refs, widths):
+            offs = (su_ref[...] & omask).astype(jnp.int32)
+            offs = jnp.where(gp + width <= blen, offs, 0)
+            reach = (offs > 0).astype(jnp.int32)
+            span_units = 1
+            for _ in range(chain_steps):
+                shift = span_units * width
+                nxt_off = jnp.concatenate(
+                    [offs[:, shift:],
+                     jnp.zeros((rows, shift), jnp.int32)], axis=1)
+                nxt_reach = jnp.concatenate(
+                    [reach[:, shift:],
+                     jnp.zeros((rows, shift), jnp.int32)], axis=1)
+                cont = (offs > 0) & (reach == span_units) \
+                    & (nxt_off == offs)
+                reach = jnp.where(cont, reach + nxt_reach, reach)
+                span_units *= 2
+            est = reach * width
+            better = (est > mlen) | ((est == mlen) & (offs > 0)
+                                     & ((offs < moff) | (moff == 0)))
+            take = (offs > 0) & better
+            mlen = jnp.where(take, est, mlen)
+            moff = jnp.where(take, offs, moff)
+
+        worth = ((mlen >= 7)
+                 | ((mlen >= 6) & (moff <= 32768))
+                 | ((mlen >= 5) & (moff <= 4096))
+                 | ((mlen >= 4) & (moff <= 256)))
+        mlen = jnp.where(worth, mlen, 0)
+        moff = jnp.where(worth, moff, 0)
+        mlen = jnp.minimum(mlen, 16383)
+
+        # Offset-1 runs: run_end = suffix-min of change indices, by
+        # doubling (cap 16383 keeps 14 steps enough).
+        x = x_ref[...]
+        big = jnp.int32(2 ** 30)
+        chg = jnp.concatenate(
+            [x[:, :-1] != x[:, 1:], jnp.ones((rows, 1), bool)], axis=1)
+        r = jnp.where(chg, gp, big)
+        step = 1
+        for _ in range(14):
+            nxt = jnp.concatenate(
+                [r[:, step:], jnp.full((rows, step), big, jnp.int32)],
+                axis=1)
+            r = jnp.minimum(r, nxt)
+            step *= 2
+        len1 = r - gp + 1
+        len1 = jnp.minimum(jnp.minimum(len1, blen - gp), 16383)
+        prev_eq = jnp.concatenate(
+            [jnp.zeros((rows, 1), bool), x[:, 1:] == x[:, :-1]], axis=1)
+        use1 = prev_eq & (len1 >= 4) & (len1 > mlen)
+        mlen_ref[...] = jnp.where(use1, len1, mlen)
+        moff_ref[...] = jnp.where(use1, 1, moff)
+
+    spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec] * len(widths) + [spec, len_spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((B, N), jnp.int32)] * 2,
+        compiler_params=_CP,
+        interpret=interpret,
+    )(*sus, blocks, lengths.reshape(B, 1).astype(jnp.int32))
+
+
+def candidates_hash_glue(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                         widths: tuple = (5, 8), neighbors: int = 1,
+                         window: int = 32768, chain_steps: int = 2,
+                         interpret: bool | None = None):
+    """Glue-kernel implementation of candidates_hash: A -> sort -> B ->
+    sort -> C with VMEM-resident stages between XLA's fast single-word
+    sorts."""
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    nseg = N // w
+    sus = []
+    for width in widths:
+        key = hash_keys(blocks, width, window, interpret=interpret)
+        key = key.reshape(B * nseg, w)
+        sk = jax.lax.sort((key,), dimension=1, is_stable=False,
+                          num_keys=1)[0]
+        un = neighbor_unsort_keys(sk, pbits, neighbors,
+                                  interpret=interpret)
+        su = jax.lax.sort((un,), dimension=1, is_stable=False,
+                          num_keys=1)[0]
+        sus.append(su.reshape(B, N))
+    return finalize_candidates(tuple(sus), blocks, lengths, tuple(widths),
+                               window, chain_steps, interpret=interpret)

@@ -733,9 +733,16 @@ def find_matches_fused(blocks, lengths, neighbors: int = 4,
     matcher="hash" takes the single-word-sort fast path (candidates_hash +
     compact_fast: quantized claim lengths, host-verified); "content"
     carries content words through the sorts for exact LCP."""
-    if matcher == "hash":
-        mlen, moff = candidates_hash(blocks, lengths, widths=widths,
-                                     neighbors=neighbors, window=window)
+    if matcher in ("hash", "hash_glue"):
+        if matcher == "hash_glue":
+            from . import glue_kernels
+            mlen, moff = glue_kernels.candidates_hash_glue(
+                blocks, lengths, widths=widths, neighbors=neighbors,
+                window=window)
+        else:
+            mlen, moff = candidates_hash(blocks, lengths, widths=widths,
+                                         neighbors=neighbors,
+                                         window=window)
         chosen = _parse(mlen, parser, lazy)
         out = compact_fast(chosen, mlen, moff, lengths, max_seq, window)
     else:
@@ -753,7 +760,11 @@ def find_matches_packed(blocks, lengths, neighbors: int = 4,
     """Packed-result pipeline; fused single-dispatch on TPU by default."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
-    if fused or matcher == "hash":
+    if matcher == "hash" and jax.default_backend() == "tpu":
+        # Pallas glue kernels between the sorts (one HBM pass per stage);
+        # the XLA formulation stays the CPU-backend/differential path.
+        matcher = "hash_glue"
+    if fused or matcher in ("hash", "hash_glue"):
         return find_matches_fused(blocks, lengths, neighbors=neighbors,
                                   max_seq=max_seq, parser=parser, lazy=lazy,
                                   stride=stride, window=window,

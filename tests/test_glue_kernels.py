@@ -1,0 +1,33 @@
+"""Differential tests: Pallas glue-kernel candidates (TPU fast path) vs
+the XLA candidates_hash formulation — identical (mlen, moff) required."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from qat_zstd_plugin_tpu.ops import glue_kernels as gk  # noqa: E402
+from qat_zstd_plugin_tpu.ops import match_pipeline as mp  # noqa: E402
+
+
+@pytest.mark.parametrize("B,N,widths", [
+    (4, 65536, (5, 8)), (1, 131072, (6,)), (2, 32768, (4, 5, 8)),
+    (3, 65536, (5, 8))])
+def test_glue_matches_xla(B, N, widths):
+    rng = np.random.default_rng(B)
+    text = (open("/root/repo/SURVEY.md", "rb").read() * 12)
+    buf = np.frombuffer(text[:B * N], np.uint8).reshape(B, N).copy()
+    if B > 1:
+        buf[1, : N // 4] = rng.integers(0, 4, N // 4, np.uint8)
+        buf[1, 1000:2000] = 9  # run
+    lengths = np.full(B, N, np.int32)
+    lengths[-1] = N - 57
+    W = min(32768, N)
+    m1, o1 = mp.candidates_hash(jnp.asarray(buf), jnp.asarray(lengths),
+                                widths=widths, neighbors=1, window=W)
+    m2, o2 = gk.candidates_hash_glue(jnp.asarray(buf),
+                                     jnp.asarray(lengths), widths=widths,
+                                     neighbors=1, window=W,
+                                     interpret=True)
+    assert (np.asarray(m1) == np.asarray(m2)).all()
+    assert (np.asarray(o1) == np.asarray(o2)).all()
