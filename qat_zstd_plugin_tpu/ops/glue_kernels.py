@@ -38,6 +38,20 @@ def _rows(n: int) -> int:
     return 8 if n % 8 == 0 else n
 
 
+def _shl(a, s, fill, gp):
+    """Element i <- a[i+s] along axis 1 (tail = fill). pltpu.roll keeps
+    Mosaic happy where unaligned-width concatenates break it."""
+    n = a.shape[1]
+    r = pltpu.roll(a, n - s, axis=1)
+    return jnp.where(gp < n - s, r, fill)
+
+
+def _shr(a, s, fill, gp):
+    """Element i <- a[i-s] along axis 1 (head = fill)."""
+    r = pltpu.roll(a, s, axis=1)
+    return jnp.where(gp >= s, r, fill)
+
+
 def _hash_tile(x: jnp.ndarray, width: int, n: int, hbits: int
                ) -> jnp.ndarray:
     """hbits-bit hash of the width-byte gram; x: (rows, n+16) uint32."""
@@ -116,15 +130,13 @@ def neighbor_unsort_keys(sk: jnp.ndarray, pbits: int, neighbors: int = 1,
 
     def kernel(sk_ref, out_ref):
         s = sk_ref[...]
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
         sh = s >> pbits
         sp = s & pmask
         off = jnp.zeros_like(s)
         for k in range(1, neighbors + 1):
-            ph = jnp.concatenate(
-                [jnp.full((rows, k), 0xFFFFFFFF, jnp.uint32),
-                 sh[:, :-k]], axis=1)
-            pp = jnp.concatenate(
-                [jnp.zeros((rows, k), jnp.uint32), sp[:, :-k]], axis=1)
+            ph = _shr(sh, k, jnp.uint32(0xFFFFFFFF), gp)
+            pp = _shr(sp, k, jnp.uint32(0), gp)
             eq = (sh == ph) & (pp < sp)
             off = jnp.where((off == 0) & eq, sp - pp, off)
         out_ref[...] = (s << hbits) | off
@@ -179,12 +191,8 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
             span_units = 1
             for _ in range(chain_steps):
                 shift = span_units * width
-                nxt_off = jnp.concatenate(
-                    [offs[:, shift:],
-                     jnp.zeros((rows, shift), jnp.int32)], axis=1)
-                nxt_reach = jnp.concatenate(
-                    [reach[:, shift:],
-                     jnp.zeros((rows, shift), jnp.int32)], axis=1)
+                nxt_off = _shl(offs, shift, 0, gp)
+                nxt_reach = _shl(reach, shift, 0, gp)
                 cont = (offs > 0) & (reach == span_units) \
                     & (nxt_off == offs)
                 reach = jnp.where(cont, reach + nxt_reach, reach)
@@ -206,22 +214,19 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
 
         # Offset-1 runs: run_end = suffix-min of change indices, by
         # doubling (cap 16383 keeps 14 steps enough).
-        x = x_ref[...]
+        x = x_ref[...].astype(jnp.int32)
         big = jnp.int32(2 ** 30)
-        chg = jnp.concatenate(
-            [x[:, :-1] != x[:, 1:], jnp.ones((rows, 1), bool)], axis=1)
+        xn = _shl(x, 1, -1, gp)         # next byte (-1 sentinel: change)
+        chg = x != xn
         r = jnp.where(chg, gp, big)
         step = 1
         for _ in range(14):
-            nxt = jnp.concatenate(
-                [r[:, step:], jnp.full((rows, step), big, jnp.int32)],
-                axis=1)
-            r = jnp.minimum(r, nxt)
+            r = jnp.minimum(r, _shl(r, step, big, gp))
             step *= 2
         len1 = r - gp + 1
         len1 = jnp.minimum(jnp.minimum(len1, blen - gp), 16383)
-        prev_eq = jnp.concatenate(
-            [jnp.zeros((rows, 1), bool), x[:, 1:] == x[:, :-1]], axis=1)
+        xp0 = _shr(x, 1, -1, gp)        # previous byte (-1: no match)
+        prev_eq = x == xp0
         use1 = prev_eq & (len1 >= 4) & (len1 > mlen)
         mlen_ref[...] = jnp.where(use1, len1, mlen)
         moff_ref[...] = jnp.where(use1, 1, moff)
