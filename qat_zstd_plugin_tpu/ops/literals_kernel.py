@@ -1,0 +1,194 @@
+"""On-device Huffman literals encoding (SURVEY §7.4, the last entropy
+stage off the host).
+
+Flow per batch, all shape-static:
+
+1. literal mask from the parse: a position is a literal iff no chosen
+   match covers it — running-max-of-match-ends by shift doubling in a
+   Pallas kernel, fused with key building: key = (pos << 8 | byte) for
+   literals, sentinel otherwise.
+2. one single-word sort compacts the literal bytes in position order.
+3. byte histogram + per-block canonical Huffman tables
+   (ops/huffman_tables.py).
+4. per-literal (code, nbits) items; destination index maps each literal
+   to its 4-stream slot in *reversed* order (streams are written
+   last-symbol-first); one more single-word sort is the scatter.
+5. ops/bitpack.py packs each stream row; the host wraps the section
+   (tree description via format/huffman.py serialize_tree + jump table).
+
+The host keeps raw/RLE/small-block literals (device path opts out via
+the ok flag and the host encodes from block bytes as before).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import bitpack, huffman_tables
+from .glue_kernels import _CP, _rows, _shl, _shr
+
+SENT = 0xFFFFFFFF  # sentinel key (python int: folds as immediate)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def literal_keys(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                 chosen: jnp.ndarray, mlen: jnp.ndarray,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """(B, N) u32: (pos << 8 | byte) at literal positions, sentinel
+    elsewhere. Literal = not covered by any chosen match (match lengths
+    <= 16383, so 14 doubling steps bound the running end-max)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    rows = _rows(B)
+
+    def kernel(x_ref, ln_ref, ch_ref, ml_ref, out_ref):
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        blen = ln_ref[...][:, :1]
+        ch = ch_ref[...] != 0
+        ends = jnp.where(ch, gp + ml_ref[...], 0)
+        step = 1
+        for _ in range(14):
+            ends = jnp.maximum(ends, _shr(ends, step, 0, gp))
+            step *= 2
+        covered = ends > gp
+        is_lit = (~covered) & (gp < blen)
+        x = x_ref[...].astype(jnp.uint32)
+        key = (gp.astype(jnp.uint32) << 8) | x
+        out_ref[...] = jnp.where(is_lit, key, jnp.uint32(SENT))
+
+    spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec, len_spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(blocks, lengths.reshape(B, 1).astype(jnp.int32),
+      chosen.astype(jnp.int32), mlen)
+
+
+def encode_literals_device(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                           chosen: jnp.ndarray, mlen: jnp.ndarray,
+                           max_words: int | None = None,
+                           interpret: bool | None = None) -> dict:
+    """Per-block 4-stream Huffman-coded literals.
+
+    Returns dict of device arrays:
+      words (B*4, W) i32, bits (B*4,) i32 — per-stream backward payloads
+      nb_bits/codes (B, 256), n_lit (B,), ok (B,) — ok=False blocks keep
+      the host literals path (small/degenerate/overflow cases).
+    """
+    B, N = blocks.shape
+    cap = N // 4
+    if max_words is None:
+        max_words = (cap * 12) // 32 + 8  # 11-bit codes + slack
+    keys = literal_keys(blocks, lengths, chosen, mlen,
+                        interpret=interpret)
+    sk = jax.lax.sort((keys,), dimension=1, is_stable=False,
+                      num_keys=1)[0]
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    valid = sk != jnp.uint32(SENT)
+    n_lit = valid.sum(axis=1).astype(jnp.int32)
+    byte = (sk & jnp.uint32(0xFF)).astype(jnp.int32)
+
+    # Histogram + tables (compare-reduce over the 256-symbol axis).
+    sym = jnp.arange(256, dtype=jnp.int32)
+    hist = ((byte[:, :, None] == sym) & valid[:, :, None]) \
+        .sum(axis=1).astype(jnp.int32)
+    t = huffman_tables.build_tables(hist)
+    entry = t["codes"] | (t["nb_bits"] << 11)           # (B, 256)
+    items = jnp.where(
+        (byte[:, :, None] == sym), entry[:, None, :], 0).sum(axis=2)
+    items = jnp.where(valid, items, 0)
+
+    # 4-stream destination with in-stream reversal (write order = last
+    # literal first). seg = ceil(n/4); stream s holds literal indices
+    # [s*seg, min((s+1)*seg, n)) at slots [s*cap, s*cap+len_s). The
+    # scatter is a sort by destination, and a sort compacts ranks — so
+    # every slot must be OCCUPIED: non-literal elements are mapped onto
+    # the per-stream gap slots [s*cap+len_s, (s+1)*cap) in order, with
+    # zero-bit items (bitpack skips them).
+    seg = jnp.maximum((n_lit + 3) // 4, 1)[:, None]
+    stream = jnp.minimum(idx // seg, 3)
+    within = idx - stream * seg
+    len_s = jnp.clip(n_lit[:, None] - stream * seg, 0, seg)
+    rev = len_s - 1 - within
+    dest_valid = stream * cap + rev
+    # Gap assignment for the (N - n_lit) non-literals.
+    lens4 = jnp.clip(n_lit[:, None] - jnp.arange(4)[None, :] * seg,
+                     0, seg)                        # (B, 4)
+    gaps = cap - lens4
+    Gc = jnp.cumsum(gaps, axis=1) - gaps            # exclusive (B, 4)
+    fr = idx - n_lit[:, None]                       # fill rank >= 0
+    fs = ((fr >= Gc[:, 1:2]).astype(jnp.int32)
+          + (fr >= Gc[:, 2:3]).astype(jnp.int32)
+          + (fr >= Gc[:, 3:4]).astype(jnp.int32))
+    G_sel = jnp.where(fs == 0, 0,
+                      jnp.where(fs == 1, Gc[:, 1:2],
+                                jnp.where(fs == 2, Gc[:, 2:3],
+                                          Gc[:, 3:4])))
+    len_sel = jnp.clip(n_lit[:, None] - fs * seg, 0, seg)
+    dest_gap = fs * cap + len_sel + (fr - G_sel)
+    dest = jnp.where(valid, dest_valid, dest_gap).astype(jnp.uint32)
+    key2 = (dest << 15) | jnp.where(valid, items, 0).astype(jnp.uint32)
+    s2 = jax.lax.sort((key2,), dimension=1, is_stable=False,
+                      num_keys=1)[0]
+    packed = (s2 & jnp.uint32(0x7FFF)).astype(jnp.int32)
+    lo = (packed & 0x7FF).reshape(B * 4, cap)
+    nb = (packed >> 11).reshape(B * 4, cap)
+    words, bits, over = bitpack.bitpack(lo, jnp.zeros_like(lo), nb,
+                                        max_words)
+    over_b = over.reshape(B, 4).any(axis=1)
+    # Streams must fit the 16-bit jump table and the 4-stream layout
+    # needs n >= 1024 (host handles small blocks anyway).
+    stream_bytes = (bits.reshape(B, 4) + 7 + 1) // 8  # + sentinel bit
+    ok = (t["ok"] & (n_lit >= 1024) & ~over_b
+          & (stream_bytes[:, :3] <= 0xFFFF).all(axis=1)
+          & (n_lit - 3 * seg[:, 0] >= 1))
+    return {"words": words, "bits": bits, "nb_bits": t["nb_bits"],
+            "codes": t["codes"], "max_bits": t["max_bits"],
+            "last_symbol": t["last_symbol"], "n_lit": n_lit, "ok": ok}
+
+
+def device_literals_section(nb_bits: np.ndarray, codes: np.ndarray,
+                            max_bits: int, last_symbol: int, n_lit: int,
+                            words: np.ndarray, bits: np.ndarray
+                            ) -> bytes | None:
+    """Host wrapper: assemble one block's Compressed_Literals section from
+    device streams. words/bits: (4, W)/(4,). Returns None if the section
+    would not be format-legal (caller keeps the host literals path)."""
+    from ..format import huffman
+    from ..format.frame import LIT_COMPRESSED, _literals_header
+
+    table = huffman.HuffmanTable(
+        nb_bits.astype(np.int32), codes.astype(np.int32), int(max_bits),
+        int(last_symbol))
+    tree = huffman.serialize_tree(table)
+    streams = [bitpack.backward_stream_bytes(words[s], int(bits[s]))
+               for s in range(4)]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return None
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    comp = len(tree) + len(jump) + sum(map(len, streams))
+    if n_lit < 1024 and comp < 1024:
+        sf = 1
+    elif n_lit < (1 << 14) and comp < (1 << 14):
+        sf = 2
+    elif n_lit < (1 << 18) and comp < (1 << 18):
+        sf = 3
+    else:
+        return None
+    hdr = _literals_header(LIT_COMPRESSED, sf, n_lit, comp)
+    return hdr + tree + jump + b"".join(streams)

@@ -809,7 +809,8 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
                              max_seq: int = 16384, parser: str = "scan",
                              lazy: bool = False, seq_words: int = 8192,
                              stride: int = 1, window: int = 1 << 30,
-                             custom_tables: bool = True):
+                             custom_tables: bool = True,
+                             device_literals: bool = True):
     """Pipeline + on-device FSE sequence-section encoding (hybrid entropy:
     the accelerator emits finished Sequences_Section bitstreams, the host
     adds literals sections — shrinking the device->host return path to the
@@ -827,7 +828,12 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
         out["lit_len"], out["offset"], out["match_len"], out["nseq"],
         max_words=seq_words, custom=custom_tables)
     packed = _pack_wide_jit(out, max_seq)
-    return packed, words, bits, sec_over, plan
+    lits = None
+    if device_literals:
+        from . import literals_kernel
+        lits = literals_kernel.encode_literals_device(
+            blocks, lengths, chosen, mlen)
+    return packed, words, bits, sec_over, plan, lits
 
 
 def unpack_outputs(packed: np.ndarray) -> dict:

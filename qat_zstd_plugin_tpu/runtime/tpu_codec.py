@@ -166,7 +166,8 @@ class TpuCodec:
                         max_seq=self.max_seq, parser=parser,
                         lazy=self.params.lazy, stride=self.params.stride,
                         window=self.params.window,
-                        custom_tables=self.params.custom_tables)
+                        custom_tables=self.params.custom_tables,
+                        device_literals=self.params.huffman)
             else:
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_packed(
@@ -206,12 +207,17 @@ class TpuCodec:
         from ..ops import bitpack, match_pipeline
         b, result = handle
         if self.device_entropy:
-            packed, words, bits, sec_over, plan = result
+            packed, words, bits, sec_over, plan, lits = result
             out = match_pipeline.unpack_outputs_wide(np.asarray(packed))
             words = np.asarray(words)
             bits = np.asarray(bits)
             sec_over = np.asarray(sec_over)
             plan = {k: np.asarray(v) for k, v in plan.items()}
+            if lits is not None:
+                lits = {k: np.asarray(v) for k, v in lits.items()}
+                nblk = len(words)
+                lits["words"] = lits["words"].reshape(nblk, 4, -1)
+                lits["bits"] = lits["bits"].reshape(nblk, 4)
             res = []
             for i in range(b):
                 if bool(out["overflow"][i]) or bool(sec_over[i]):
@@ -253,7 +259,15 @@ class TpuCodec:
                 sec = (nbseq_header(ns) + bytes([mode]) + desc
                        + bitpack.backward_stream_bytes(words[i],
                                                        int(bits[i])))
-                res.append((seqs, sec))
+                lit_sec = None
+                if lits is not None and bool(lits["ok"][i]):
+                    from ..ops import literals_kernel
+                    lit_sec = literals_kernel.device_literals_section(
+                        lits["nb_bits"][i], lits["codes"][i],
+                        lits["max_bits"][i], lits["last_symbol"][i],
+                        int(lits["n_lit"][i]), lits["words"][i],
+                        lits["bits"][i])
+                res.append((seqs, (lit_sec, sec)))
             return res
         packed = result
         out = match_pipeline.unpack_outputs(np.asarray(packed))
@@ -338,13 +352,24 @@ class TpuCodec:
             ctx = min(i * bs, max_ctx)
             cblk = buf[i * bs - ctx:min((i + 1) * bs, n)]
             if dev_section is not None:
+                lit_sec, seq_sec = dev_section
+                if lit_sec is not None and seqs is not None:
+                    # Fully-device entropy: both sections came off the
+                    # accelerator; the host only concatenates (span
+                    # sanity first — a mismatch falls through to the
+                    # host literals path below).
+                    span = int(seqs.lit_lengths.sum()
+                               + seqs.match_lengths.sum()
+                               + seqs.last_literals)
+                    if span == len(blk):
+                        return bytes(lit_sec) + seq_sec
                 if seqs is not None and use_native:
-                    # Hybrid entropy: the device already encoded the
-                    # sequence section; host adds the literals section
-                    # only. No extension — the section is final.
+                    # Hybrid entropy: the device encoded the sequence
+                    # section; host adds the literals section only. No
+                    # extension — the section is final.
                     return native.block_body_external_seqsec(
                         blk, seqs.lit_lengths, seqs.match_lengths,
-                        seqs.last_literals, dev_section,
+                        seqs.last_literals, seq_sec,
                         self.params.huffman)
                 # No native runtime: the sequences carry placeholder
                 # offsets (they live in the device section), so the
