@@ -94,22 +94,27 @@ def hash_keys(blocks: jnp.ndarray, width: int, window: int,
     hbits = 32 - pbits
     xp = jnp.pad(blocks, ((0, 0), (0, 16)))
     rows = _rows(B)
+    nseg = N // w
 
+    # Output lands directly in the (B*nseg, w) shape the segment sorts
+    # consume: a host-level reshape between a kernel and a sort knocks
+    # XLA's sort off its fast path (~3x, measured), while the same
+    # reshape inside the kernel's VMEM store is free.
     def kernel(x_ref, out_ref):
         x = x_ref[...].astype(jnp.uint32)
         h = _hash_tile(x, width, N, hbits)
         pos = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
             & jnp.uint32(w - 1)
-        out_ref[...] = (h << pbits) | pos
+        out_ref[...] = ((h << pbits) | pos).reshape(rows * nseg, w)
 
     return pl.pallas_call(
         kernel,
         grid=(B // rows,),
         in_specs=[pl.BlockSpec((rows, N + 16), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((rows, N), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32),
         compiler_params=_CP,
         interpret=interpret,
     )(xp)
@@ -174,6 +179,8 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
     omask = (1 << pbits) - 1  # python int: folded as an immediate
     rows = _rows(B)
 
+    nseg = N // w
+
     def kernel(*refs):
         su_refs = refs[:len(widths)]
         x_ref = refs[len(widths)]
@@ -185,7 +192,8 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
         moff = jnp.zeros((rows, N), jnp.int32)
         gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
         for su_ref, width in zip(su_refs, widths):
-            offs = (su_ref[...] & omask).astype(jnp.int32)
+            offs = (su_ref[...] & omask).astype(jnp.int32) \
+                .reshape(rows, N)
             offs = jnp.where(gp + width <= blen, offs, 0)
             reach = (offs > 0).astype(jnp.int32)
             span_units = 1
@@ -233,17 +241,141 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
 
     spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(B // rows,),
-        in_specs=[spec] * len(widths) + [spec, len_spec],
+        in_specs=[seg_spec] * len(widths) + [spec, len_spec],
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((B, N), jnp.int32)] * 2,
         compiler_params=_CP,
         interpret=interpret,
     )(*sus, blocks, lengths.reshape(B, 1).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "max_seq",
+                                             "interpret"))
+def compact_operands(chosen: jnp.ndarray, mlen: jnp.ndarray,
+                     moff: jnp.ndarray, window: int, max_seq: int = 0,
+                     interpret: bool | None = None):
+    """(B, N) parse outputs -> two (B*nseg, w) u32 sort operands for the
+    parallel-payload compaction (match_pipeline.compact_fast semantics):
+    key = poskey << 16 | payload, poskey = local pos for chosen slots and
+    w + local pos otherwise — DISTINCT sentinels keep the sort's key
+    distribution healthy, and sorted order still puts every chosen slot
+    first. Emitted directly in segment shape (no host reshapes)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = chosen.shape
+    w = min(window, N)
+    nseg = N // w
+    rows = _rows(B)
+    assert w <= 32768  # poskey needs 16 bits incl. sentinel range
+
+    def kernel(ch_ref, ml_ref, of_ref, a_ref, b_ref):
+        gp = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
+            & jnp.uint32(w - 1)
+        ch = ch_ref[...] != 0
+        poskey = jnp.where(ch, gp, gp + jnp.uint32(w)) << 16
+        a = poskey | ml_ref[...].astype(jnp.uint32)
+        b = poskey | of_ref[...].astype(jnp.uint32)
+        a_ref[...] = a.reshape(rows * nseg, w)
+        b_ref[...] = b.reshape(rows * nseg, w)
+
+    spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec] * 3,
+        out_specs=[seg_spec, seg_spec],
+        out_shape=[jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32)] * 2,
+        compiler_params=_CP,
+        interpret=interpret,
+    )(chosen.astype(jnp.int32), mlen, moff)
+
+
+def compact_fast_glue(chosen, mlen, moff, lengths, max_seq: int,
+                      window: int, interpret: bool | None = None):
+    """compact_fast with the operand build in a Pallas kernel and the
+    sorts fed segment-shaped operands (identical outputs; differential
+    test vs compact_fast)."""
+    from .match_pipeline import MIN_MATCH
+
+    B, N = chosen.shape
+    req_seq = max_seq
+    max_seq = min(max_seq, N)
+    w = min(window, N)
+    nseg = N // w
+    opA, opB = compact_operands(chosen, mlen, moff, window,
+                                interpret=interpret)
+    sA = jax.lax.sort((opA,), dimension=1, is_stable=False, num_keys=1)[0]
+    sB = jax.lax.sort((opB,), dimension=1, is_stable=False, num_keys=1)[0]
+    capseg = min(w // MIN_MATCH, max_seq)
+    segpos = (sA[:, :capseg] >> 16).astype(jnp.int32)
+    segml = (sA[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    segoff = (sB[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    nseq = chosen.sum(axis=1).astype(jnp.int32)
+    if nseg > 1:
+        R = B * nseg
+        seg_start = ((jnp.arange(R, dtype=jnp.int32) % nseg) * w)[:, None]
+        seg_cnt = chosen.reshape(R, w).sum(axis=1).astype(jnp.int32)[:, None]
+        valid = jnp.arange(capseg, dtype=jnp.int32)[None, :] < seg_cnt
+        gpos = jnp.where(valid, segpos + seg_start, N - 1) \
+            .astype(jnp.uint32)
+        gbits = (N - 1).bit_length()
+        gshift = 32 - gbits
+        M = nseg * capseg
+        gpos = gpos.reshape(B, M)
+        gml = jnp.where(valid, segml, 0).reshape(B, M).astype(jnp.uint32)
+        goff = jnp.where(valid, segoff, 0).reshape(B, M) \
+            .astype(jnp.uint32)
+        gA = jax.lax.sort(((gpos << gshift) | gml,), dimension=1,
+                          is_stable=False, num_keys=1)[0]
+        gB = jax.lax.sort(((gpos << gshift) | goff,), dimension=1,
+                          is_stable=False, num_keys=1)[0]
+        take = min(max_seq, M)
+        t2 = (gA[:, :take] >> gshift).astype(jnp.int32)
+        l2 = (gA[:, :take] & jnp.uint32((1 << gshift) - 1)) \
+            .astype(jnp.int32)
+        o2 = (gB[:, :take] & jnp.uint32((1 << gshift) - 1)) \
+            .astype(jnp.int32)
+    else:
+        take = min(max_seq, capseg)
+        t2 = segpos[:, :take]
+        l2 = segml[:, :take]
+        o2 = segoff[:, :take]
+    if take < max_seq:
+        t2 = jnp.pad(t2, ((0, 0), (0, max_seq - take)))
+        l2 = jnp.pad(l2, ((0, 0), (0, max_seq - take)))
+        o2 = jnp.pad(o2, ((0, 0), (0, max_seq - take)))
+    srow = jnp.broadcast_to(jnp.arange(max_seq, dtype=jnp.int32)[None, :],
+                            (B, max_seq))
+    valid = srow < nseq[:, None]
+    prev_end = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), (t2 + l2)[:, :-1]], axis=1)
+    lit = jnp.where(valid, t2 - prev_end, 0)
+    ml = jnp.where(valid, l2, 0)
+    off = jnp.where(valid, o2, 0)
+    ends = jnp.where(valid, t2 + l2, 0)
+    last_end = ends.max(axis=1)
+    last_literals = lengths.astype(jnp.int32) - last_end
+    overflow = nseq > max_seq
+    if req_seq > max_seq:
+        pad = req_seq - max_seq
+        lit = jnp.pad(lit, ((0, 0), (0, pad)))
+        off = jnp.pad(off, ((0, 0), (0, pad)))
+        ml = jnp.pad(ml, ((0, 0), (0, pad)))
+    return {
+        "lit_len": lit, "offset": off, "match_len": ml,
+        "nseq": jnp.minimum(nseq, max_seq), "last_literals": last_literals,
+        "overflow": overflow,
+    }
 
 
 def candidates_hash_glue(blocks: jnp.ndarray, lengths: jnp.ndarray,
@@ -252,21 +384,20 @@ def candidates_hash_glue(blocks: jnp.ndarray, lengths: jnp.ndarray,
                          interpret: bool | None = None):
     """Glue-kernel implementation of candidates_hash: A -> sort -> B ->
     sort -> C with VMEM-resident stages between XLA's fast single-word
-    sorts."""
+    sorts. All sort operands live in segment shape (B*nseg, w) end to
+    end — no host reshapes touch them."""
     B, N = blocks.shape
     w = min(window, N)
     pbits = (w - 1).bit_length()
-    nseg = N // w
     sus = []
     for width in widths:
         key = hash_keys(blocks, width, window, interpret=interpret)
-        key = key.reshape(B * nseg, w)
         sk = jax.lax.sort((key,), dimension=1, is_stable=False,
                           num_keys=1)[0]
         un = neighbor_unsort_keys(sk, pbits, neighbors,
                                   interpret=interpret)
         su = jax.lax.sort((un,), dimension=1, is_stable=False,
                           num_keys=1)[0]
-        sus.append(su.reshape(B, N))
+        sus.append(su)
     return finalize_candidates(tuple(sus), blocks, lengths, tuple(widths),
                                window, chain_steps, interpret=interpret)

@@ -739,12 +739,16 @@ def find_matches_fused(blocks, lengths, neighbors: int = 4,
             mlen, moff = glue_kernels.candidates_hash_glue(
                 blocks, lengths, widths=widths, neighbors=neighbors,
                 window=window)
+            chosen = _parse(mlen, parser, lazy)
+            out = glue_kernels.compact_fast_glue(chosen, mlen, moff,
+                                                 lengths, max_seq, window)
         else:
             mlen, moff = candidates_hash(blocks, lengths, widths=widths,
                                          neighbors=neighbors,
                                          window=window)
-        chosen = _parse(mlen, parser, lazy)
-        out = compact_fast(chosen, mlen, moff, lengths, max_seq, window)
+            chosen = _parse(mlen, parser, lazy)
+            out = compact_fast(chosen, mlen, moff, lengths, max_seq,
+                               window)
     else:
         mlen, moff = candidates(blocks, lengths, neighbors, stride, window)
         chosen = _parse(mlen, parser, lazy)

@@ -31,3 +31,20 @@ def test_glue_matches_xla(B, N, widths):
                                      interpret=True)
     assert (np.asarray(m1) == np.asarray(m2)).all()
     assert (np.asarray(o1) == np.asarray(o2)).all()
+
+
+@pytest.mark.parametrize("B,N", [(4, 65536), (2, 131072)])
+def test_compact_glue_matches_xla(B, N):
+    rng = np.random.default_rng(B + 10)
+    text = (open("/root/repo/SURVEY.md", "rb").read() * 12)
+    buf = np.frombuffer(text[:B * N], np.uint8).reshape(B, N)
+    lengths = np.full(B, N, np.int32)
+    W = 32768
+    m, o = mp.candidates_hash(jnp.asarray(buf), jnp.asarray(lengths),
+                              widths=(5, 8), neighbors=1, window=W)
+    chosen = mp.parse_greedy_scan(m)
+    a = mp.compact_fast(chosen, m, o, jnp.asarray(lengths), 16384, W)
+    b = gk.compact_fast_glue(chosen, m, o, jnp.asarray(lengths), 16384,
+                             W, interpret=True)
+    for k in a:
+        assert (np.asarray(a[k]) == np.asarray(b[k])).all(), k
