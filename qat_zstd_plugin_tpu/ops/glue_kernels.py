@@ -52,26 +52,32 @@ def _shr(a, s, fill, gp):
     return jnp.where(gp >= s, r, fill)
 
 
-def _hash_tile(x: jnp.ndarray, width: int, n: int, hbits: int
-               ) -> jnp.ndarray:
-    """hbits-bit hash of the width-byte gram; x: (rows, n+16) uint32."""
+def _hash_tile(x: jnp.ndarray, width: int, n: int, hbits: int,
+               gp: jnp.ndarray) -> jnp.ndarray:
+    """hbits-bit hash of the width-byte gram; x: (rows, n) uint32.
+    Shifted byte reads come from in-kernel rolls (zero fill past the
+    end), so the caller never pads — any host-level XLA op feeding these
+    kernels measurably derails downstream sort/layout decisions."""
     C1 = jnp.uint32(2654435761)
     C2 = jnp.uint32(2246822519)
     C3 = jnp.uint32(3266489917)
 
+    def at(shift: int) -> jnp.ndarray:
+        if shift == 0:
+            return x
+        return _shl(x, shift, jnp.uint32(0), gp)
+
     def word(shift: int) -> jnp.ndarray:
-        return ((x[:, shift:shift + n] << 24)
-                | (x[:, shift + 1:shift + 1 + n] << 16)
-                | (x[:, shift + 2:shift + 2 + n] << 8)
-                | (x[:, shift + 3:shift + 3 + n]))
+        return ((at(shift) << 24) | (at(shift + 1) << 16)
+                | (at(shift + 2) << 8) | at(shift + 3))
 
     w0 = word(0)
     if width == 4:
         h = w0 * C1
     elif width == 5:
-        h = (w0 * C1) ^ ((x[:, 4:4 + n] * C2) << 11)
+        h = (w0 * C1) ^ ((at(4) * C2) << 11)
     elif width == 6:
-        w1 = (x[:, 4:4 + n] << 8) | x[:, 5:5 + n]
+        w1 = (at(4) << 8) | at(5)
         h = (w0 * C1) ^ (w1 * C2)
     elif width == 8:
         h = (w0 * C1) ^ (word(4) * C2) * C3
@@ -92,17 +98,19 @@ def hash_keys(blocks: jnp.ndarray, width: int, window: int,
     w = min(window, N)
     pbits = (w - 1).bit_length()
     hbits = 32 - pbits
-    xp = jnp.pad(blocks, ((0, 0), (0, 16)))
     rows = _rows(B)
     nseg = N // w
 
     # Output lands directly in the (B*nseg, w) shape the segment sorts
     # consume: a host-level reshape between a kernel and a sort knocks
     # XLA's sort off its fast path (~3x, measured), while the same
-    # reshape inside the kernel's VMEM store is free.
+    # reshape inside the kernel's VMEM store is free. The tail-gram
+    # zero fill happens in-kernel too (see _hash_tile) so the input is
+    # the raw block array, untouched by any host op.
     def kernel(x_ref, out_ref):
         x = x_ref[...].astype(jnp.uint32)
-        h = _hash_tile(x, width, N, hbits)
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        h = _hash_tile(x, width, N, hbits, gp)
         pos = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
             & jnp.uint32(w - 1)
         out_ref[...] = ((h << pbits) | pos).reshape(rows * nseg, w)
@@ -110,14 +118,14 @@ def hash_keys(blocks: jnp.ndarray, width: int, window: int,
     return pl.pallas_call(
         kernel,
         grid=(B // rows,),
-        in_specs=[pl.BlockSpec((rows, N + 16), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32),
         compiler_params=_CP,
         interpret=interpret,
-    )(xp)
+    )(blocks)
 
 
 @functools.partial(jax.jit, static_argnames=("pbits", "neighbors",
@@ -378,6 +386,16 @@ def compact_fast_glue(chosen, mlen, moff, lengths, max_seq: int,
     }
 
 
+@jax.jit
+def _sort_rows(x):
+    """Single-word row sort as its OWN dispatch: a sort compiled together
+    with producer/consumer ops in one program loses its fast code path
+    (~0.45 vs ~0.15 ms/Melem, measured repeatedly); as a standalone jit
+    it keeps it, and JAX's async dispatch pipelines the extra program
+    boundaries so steady-state throughput only improves."""
+    return jax.lax.sort((x,), dimension=1, is_stable=False, num_keys=1)[0]
+
+
 def candidates_hash_glue(blocks: jnp.ndarray, lengths: jnp.ndarray,
                          widths: tuple = (5, 8), neighbors: int = 1,
                          window: int = 32768, chain_steps: int = 2,
@@ -401,3 +419,124 @@ def candidates_hash_glue(blocks: jnp.ndarray, lengths: jnp.ndarray,
         sus.append(su)
     return finalize_candidates(tuple(sus), blocks, lengths, tuple(widths),
                                window, chain_steps, interpret=interpret)
+
+
+def candidates_hash_split(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                          widths: tuple = (5, 8), neighbors: int = 1,
+                          window: int = 32768, chain_steps: int = 2,
+                          interpret: bool | None = None):
+    """Split-dispatch variant: every sort runs as its own jit (see
+    _sort_rows). Same results as candidates_hash_glue/candidates_hash."""
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    sus = []
+    for width in widths:
+        key = hash_keys(blocks, width, window, interpret=interpret)
+        su = _sort_rows(neighbor_unsort_keys(_sort_rows(key), pbits,
+                                             neighbors,
+                                             interpret=interpret))
+        sus.append(su)
+    return finalize_candidates(tuple(sus), blocks, lengths, tuple(widths),
+                               window, chain_steps, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seq", "window"))
+def _compact_tail(sA, sB, chosen, lengths, max_seq: int, window: int):
+    """Post-sort compaction tail: segment-prefix extraction, global
+    merge, per-sequence field computation (compact_fast semantics)."""
+    from .match_pipeline import MIN_MATCH
+
+    B = chosen.shape[0]
+    N = chosen.shape[1]
+    req_seq = max_seq
+    max_seq = min(max_seq, N)
+    w = min(window, N)
+    nseg = N // w
+    capseg = min(w // MIN_MATCH, max_seq)
+    segpos = (sA[:, :capseg] >> 16).astype(jnp.int32)
+    segml = (sA[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    segoff = (sB[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    nseq = chosen.sum(axis=1).astype(jnp.int32)
+    if nseg > 1:
+        R = B * nseg
+        seg_start = ((jnp.arange(R, dtype=jnp.int32) % nseg) * w)[:, None]
+        seg_cnt = chosen.reshape(R, w).sum(axis=1) \
+            .astype(jnp.int32)[:, None]
+        valid = jnp.arange(capseg, dtype=jnp.int32)[None, :] < seg_cnt
+        gpos = jnp.where(valid, segpos + seg_start, N - 1) \
+            .astype(jnp.uint32)
+        gbits = (N - 1).bit_length()
+        gshift = 32 - gbits
+        M = nseg * capseg
+        gpos = gpos.reshape(B, M)
+        gml = jnp.where(valid, segml, 0).reshape(B, M).astype(jnp.uint32)
+        goff = jnp.where(valid, segoff, 0).reshape(B, M) \
+            .astype(jnp.uint32)
+        gA = jax.lax.sort(((gpos << gshift) | gml,), dimension=1,
+                          is_stable=False, num_keys=1)[0]
+        gB = jax.lax.sort(((gpos << gshift) | goff,), dimension=1,
+                          is_stable=False, num_keys=1)[0]
+        take = min(max_seq, M)
+        t2 = (gA[:, :take] >> gshift).astype(jnp.int32)
+        l2 = (gA[:, :take] & jnp.uint32((1 << gshift) - 1)) \
+            .astype(jnp.int32)
+        o2 = (gB[:, :take] & jnp.uint32((1 << gshift) - 1)) \
+            .astype(jnp.int32)
+    else:
+        take = min(max_seq, capseg)
+        t2 = segpos[:, :take]
+        l2 = segml[:, :take]
+        o2 = segoff[:, :take]
+    if take < max_seq:
+        t2 = jnp.pad(t2, ((0, 0), (0, max_seq - take)))
+        l2 = jnp.pad(l2, ((0, 0), (0, max_seq - take)))
+        o2 = jnp.pad(o2, ((0, 0), (0, max_seq - take)))
+    srow = jnp.broadcast_to(jnp.arange(max_seq, dtype=jnp.int32)[None, :],
+                            (B, max_seq))
+    valid = srow < nseq[:, None]
+    prev_end = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), (t2 + l2)[:, :-1]], axis=1)
+    lit = jnp.where(valid, t2 - prev_end, 0)
+    ml = jnp.where(valid, l2, 0)
+    off = jnp.where(valid, o2, 0)
+    ends = jnp.where(valid, t2 + l2, 0)
+    last_end = ends.max(axis=1)
+    last_literals = lengths.astype(jnp.int32) - last_end
+    overflow = nseq > max_seq
+    if req_seq > max_seq:
+        pad = req_seq - max_seq
+        lit = jnp.pad(lit, ((0, 0), (0, pad)))
+        off = jnp.pad(off, ((0, 0), (0, pad)))
+        ml = jnp.pad(ml, ((0, 0), (0, pad)))
+    out = {
+        "lit_len": lit, "offset": off, "match_len": ml,
+        "nseq": jnp.minimum(nseq, max_seq), "last_literals": last_literals,
+        "overflow": overflow,
+    }
+    from .match_pipeline import pack_outputs
+    return pack_outputs(out, req_seq)
+
+
+def find_matches_hash_split(blocks, lengths, widths=(5, 8),
+                            neighbors: int = 1, window: int = 32768,
+                            max_seq: int = 16384, parser: str = "pallas",
+                            lazy: bool = False,
+                            interpret: bool | None = None):
+    """Full hash-matcher pipeline as a split-dispatch chain, returning the
+    packed (B, max_seq+1, 2) result array (find_matches_packed contract).
+    JAX async dispatch keeps all stages of consecutive batches in flight,
+    so per-dispatch latency amortizes away in steady state — this is the
+    production TPU path for the fast levels."""
+    from .match_pipeline import _parse
+
+    mlen, moff = candidates_hash_split(blocks, lengths, widths=widths,
+                                       neighbors=neighbors, window=window,
+                                       interpret=interpret)
+    chosen = _parse(mlen, parser, lazy)
+    opA, opB = compact_operands(chosen, mlen, moff, window,
+                                interpret=interpret)
+    sA = _sort_rows(opA)
+    sB = _sort_rows(opB)
+    return _compact_tail(sA, sB, chosen.astype(jnp.int32), lengths,
+                         max_seq, window)

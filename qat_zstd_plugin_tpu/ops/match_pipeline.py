@@ -765,9 +765,13 @@ def find_matches_packed(blocks, lengths, neighbors: int = 4,
     if fused is None:
         fused = jax.default_backend() == "tpu"
     if matcher == "hash" and jax.default_backend() == "tpu":
-        # Pallas glue kernels between the sorts (one HBM pass per stage);
-        # the XLA formulation stays the CPU-backend/differential path.
-        matcher = "hash_glue"
+        # Split-dispatch glue pipeline: Pallas kernels between standalone
+        # fast-path sorts (see glue_kernels). The XLA formulation stays
+        # the CPU-backend/differential path.
+        from . import glue_kernels
+        return glue_kernels.find_matches_hash_split(
+            blocks, lengths, widths=tuple(widths), neighbors=neighbors,
+            window=window, max_seq=max_seq, parser=parser, lazy=lazy)
     if fused or matcher in ("hash", "hash_glue"):
         return find_matches_fused(blocks, lengths, neighbors=neighbors,
                                   max_seq=max_seq, parser=parser, lazy=lazy,

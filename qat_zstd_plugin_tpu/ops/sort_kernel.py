@@ -1,4 +1,7 @@
-"""Pallas VMEM-resident bitonic sort — the codec's workhorse primitive.
+"""Pallas VMEM-resident bitonic sort (measured: parity with XLA's sort,
+not a win — XLA's single-operand sort fast path, exploited by
+ops/glue_kernels.py, beats both by ~3-8x; this kernel is retained as the
+tested reference implementation of the in-VMEM network approach).
 
 On TPU, sorting IS the scatter/gather/hash-table of this codec (see
 match_pipeline.py): candidates come from a stable gram sort, un-sorting is
@@ -82,104 +85,6 @@ def _make_kernel(n_arrays: int, rows: int):
             o[0] = a
 
     return kernel
-
-
-def _packed_compare_exchange(arrs, hb, want_high, j: int):
-    """One stage for UNIQUE non-negative keys: arrs[0] is the sole key.
-
-    Uniqueness collapses the exchange decision to one compare:
-    take_partner = (want_high == key_less). Ties (equal keys) cannot occur,
-    so no lexicographic tie-break and no second compare chain — this is
-    what makes the packed-key sort ~2.5x cheaper per stage than the
-    (key, pos) variant above.
-    """
-    rows = arrs[0].shape[0]
-    partners = []
-    for a in arrs:
-        if j >= LANES:
-            shift = j // LANES
-            down = pltpu.roll(a, rows - shift, axis=0)  # value from r+shift
-            up = pltpu.roll(a, shift, axis=0)           # value from r-shift
-        else:
-            down = pltpu.roll(a, LANES - j, axis=1)
-            up = pltpu.roll(a, j, axis=1)
-        partners.append(jnp.where(hb, up, down))
-    take = want_high == (arrs[0] < partners[0])
-    return [jnp.where(take, p, a) for a, p in zip(arrs, partners)]
-
-
-def _make_packed_kernel(n_arrays: int, rows: int):
-    N = rows * LANES
-
-    def kernel(*refs):
-        ins = refs[:n_arrays]
-        outs = refs[n_arrays:]
-        row_id = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        lane_id = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        idx = row_id * LANES + lane_id
-        # has_bit depends only on j, descending only on k: memoize the
-        # per-stride masks at trace time so each stage pays one XOR.
-        hb_cache = {}
-        desc_cache = {}
-
-        def hb(j):
-            if j not in hb_cache:
-                hb_cache[j] = (idx & j) != 0
-            return hb_cache[j]
-
-        def desc(k):
-            if k not in desc_cache:
-                desc_cache[k] = (idx & k) != 0
-            return desc_cache[k]
-
-        arrs = [r[0] for r in ins]
-        k = 2
-        while k <= N:
-            j = k >> 1
-            while j >= 1:
-                arrs = _packed_compare_exchange(
-                    arrs, hb(j), hb(j) ^ desc(k), j)
-                j >>= 1
-            k <<= 1
-        for o, a in zip(outs, arrs):
-            o[0] = a
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bitonic_sort_packed(key: jnp.ndarray, *payload,
-                        interpret: bool | None = None):
-    """Sort (B, N) rows ascending by a UNIQUE, NON-NEGATIVE int32 key,
-    carrying payload arrays. N must be a power of two >= 1024; all int32.
-
-    The caller guarantees uniqueness by packing a position into the key's
-    low bits (e.g. hash<<13 | pos for 8K segments) — which also makes the
-    order identical to a stable sort by the high bits. Non-negativity
-    (bit 31 clear) lets signed compares stand in for unsigned ones.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B, N = key.shape
-    rows = N // LANES
-    assert rows * LANES == N and (N & (N - 1)) == 0 and rows >= 8, N
-    arrays = (key,) + payload
-    n_arrays = len(arrays)
-    grid = (B,)
-    spec = pl.BlockSpec((1, rows, LANES), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _make_packed_kernel(n_arrays, rows),
-        grid=grid,
-        in_specs=[spec] * n_arrays,
-        out_specs=[spec] * n_arrays,
-        out_shape=[jax.ShapeDtypeStruct((B, rows, LANES), jnp.int32)]
-        * n_arrays,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*[a.astype(jnp.int32).reshape(B, rows, LANES) for a in arrays])
-    return tuple(o.reshape(B, N) for o in out)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

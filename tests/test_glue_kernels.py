@@ -48,3 +48,20 @@ def test_compact_glue_matches_xla(B, N):
                              W, interpret=True)
     for k in a:
         assert (np.asarray(a[k]) == np.asarray(b[k])).all(), k
+
+
+def test_split_pipeline_matches_fused():
+    """find_matches_hash_split == the fused hash path, packed output."""
+    rng = np.random.default_rng(3)
+    text = (open("/root/repo/SURVEY.md", "rb").read() * 12)
+    B, N = 2, 131072
+    buf = np.frombuffer(text[:B * N], np.uint8).reshape(B, N)
+    lengths = jnp.asarray(np.full(B, N, np.int32))
+    a = mp.find_matches_fused(jnp.asarray(buf), lengths, neighbors=1,
+                              max_seq=4096, parser="scan", window=32768,
+                              matcher="hash", widths=(5, 8))
+    b = gk.find_matches_hash_split(jnp.asarray(buf), lengths,
+                                   widths=(5, 8), neighbors=1,
+                                   window=32768, max_seq=4096,
+                                   parser="scan", interpret=True)
+    assert (np.asarray(a) == np.asarray(b)).all()
