@@ -33,7 +33,11 @@ import numpy as np
 BASELINE_MBS = 2000.0  # north-star target, BASELINE.md
 CORPUS_MB = 64
 LEVEL = 1
-BATCH = 256
+# Batch sizing: the split-dispatch pipeline (ops/glue_kernels.py) hides
+# per-dispatch latency by keeping several batches' intermediates in
+# flight; B=64 x 128KiB measured fastest on v5e (B=256 exceeds the
+# in-flight HBM budget and serializes on this dev relay).
+BATCH = 64
 BLOCK = 131072
 
 

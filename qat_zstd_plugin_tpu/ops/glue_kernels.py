@@ -386,13 +386,16 @@ def compact_fast_glue(chosen, mlen, moff, lengths, max_seq: int,
     }
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=0)
 def _sort_rows(x):
     """Single-word row sort as its OWN dispatch: a sort compiled together
     with producer/consumer ops in one program loses its fast code path
     (~0.45 vs ~0.15 ms/Melem, measured repeatedly); as a standalone jit
     it keeps it, and JAX's async dispatch pipelines the extra program
-    boundaries so steady-state throughput only improves."""
+    boundaries so steady-state throughput only improves. The operand is
+    donated — every caller feeds a dead intermediate, and reusing its
+    buffer keeps more in-flight batches inside HBM (the pipelining
+    capacity that hides per-dispatch latency)."""
     return jax.lax.sort((x,), dimension=1, is_stable=False, num_keys=1)[0]
 
 
@@ -442,9 +445,35 @@ def candidates_hash_split(blocks: jnp.ndarray, lengths: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("max_seq", "window"))
-def _compact_tail(sA, sB, chosen, lengths, max_seq: int, window: int):
-    """Post-sort compaction tail: segment-prefix extraction, global
-    merge, per-sequence field computation (compact_fast semantics)."""
+def _merge_operands(sA, sB, chosen, max_seq: int, window: int):
+    """Segment-prefix extraction -> global-merge sort operands."""
+    from .match_pipeline import MIN_MATCH
+
+    R, w = sA.shape
+    nseg = w and (chosen.shape[1] // w)
+    B = chosen.shape[0]
+    N = chosen.shape[1]
+    capseg = min(w // MIN_MATCH, min(max_seq, N))
+    segpos = (sA[:, :capseg] >> 16).astype(jnp.int32)
+    segml = (sA[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    segoff = (sB[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    seg_start = ((jnp.arange(R, dtype=jnp.int32) % nseg) * w)[:, None]
+    seg_cnt = chosen.reshape(R, w).sum(axis=1).astype(jnp.int32)[:, None]
+    valid = jnp.arange(capseg, dtype=jnp.int32)[None, :] < seg_cnt
+    gpos = jnp.where(valid, segpos + seg_start, N - 1).astype(jnp.uint32)
+    gshift = 32 - (N - 1).bit_length()
+    M = nseg * capseg
+    gpos = gpos.reshape(B, M)
+    gml = jnp.where(valid, segml, 0).reshape(B, M).astype(jnp.uint32)
+    goff = jnp.where(valid, segoff, 0).reshape(B, M).astype(jnp.uint32)
+    return (gpos << gshift) | gml, (gpos << gshift) | goff
+
+
+@functools.partial(jax.jit, static_argnames=("max_seq", "window"))
+def _compact_tail(gA, gB, chosen, lengths, max_seq: int, window: int):
+    """Post-merge compaction tail: per-sequence field computation + pack
+    (compact_fast semantics). gA/gB are the sorted global-merge words
+    (nseg > 1) or the sorted per-segment operands (nseg == 1)."""
     from .match_pipeline import MIN_MATCH
 
     B = chosen.shape[0]
@@ -453,30 +482,10 @@ def _compact_tail(sA, sB, chosen, lengths, max_seq: int, window: int):
     max_seq = min(max_seq, N)
     w = min(window, N)
     nseg = N // w
-    capseg = min(w // MIN_MATCH, max_seq)
-    segpos = (sA[:, :capseg] >> 16).astype(jnp.int32)
-    segml = (sA[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    segoff = (sB[:, :capseg] & jnp.uint32(0xFFFF)).astype(jnp.int32)
     nseq = chosen.sum(axis=1).astype(jnp.int32)
     if nseg > 1:
-        R = B * nseg
-        seg_start = ((jnp.arange(R, dtype=jnp.int32) % nseg) * w)[:, None]
-        seg_cnt = chosen.reshape(R, w).sum(axis=1) \
-            .astype(jnp.int32)[:, None]
-        valid = jnp.arange(capseg, dtype=jnp.int32)[None, :] < seg_cnt
-        gpos = jnp.where(valid, segpos + seg_start, N - 1) \
-            .astype(jnp.uint32)
-        gbits = (N - 1).bit_length()
-        gshift = 32 - gbits
-        M = nseg * capseg
-        gpos = gpos.reshape(B, M)
-        gml = jnp.where(valid, segml, 0).reshape(B, M).astype(jnp.uint32)
-        goff = jnp.where(valid, segoff, 0).reshape(B, M) \
-            .astype(jnp.uint32)
-        gA = jax.lax.sort(((gpos << gshift) | gml,), dimension=1,
-                          is_stable=False, num_keys=1)[0]
-        gB = jax.lax.sort(((gpos << gshift) | goff,), dimension=1,
-                          is_stable=False, num_keys=1)[0]
+        gshift = 32 - (N - 1).bit_length()
+        M = gA.shape[1]
         take = min(max_seq, M)
         t2 = (gA[:, :take] >> gshift).astype(jnp.int32)
         l2 = (gA[:, :take] & jnp.uint32((1 << gshift) - 1)) \
@@ -484,10 +493,11 @@ def _compact_tail(sA, sB, chosen, lengths, max_seq: int, window: int):
         o2 = (gB[:, :take] & jnp.uint32((1 << gshift) - 1)) \
             .astype(jnp.int32)
     else:
+        capseg = min(w // MIN_MATCH, max_seq)
         take = min(max_seq, capseg)
-        t2 = segpos[:, :take]
-        l2 = segml[:, :take]
-        o2 = segoff[:, :take]
+        t2 = (gA[:, :take] >> 16).astype(jnp.int32)
+        l2 = (gA[:, :take] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        o2 = (gB[:, :take] & jnp.uint32(0xFFFF)).astype(jnp.int32)
     if take < max_seq:
         t2 = jnp.pad(t2, ((0, 0), (0, max_seq - take)))
         l2 = jnp.pad(l2, ((0, 0), (0, max_seq - take)))
@@ -530,13 +540,28 @@ def find_matches_hash_split(blocks, lengths, widths=(5, 8),
     production TPU path for the fast levels."""
     from .match_pipeline import _parse
 
+    B, N = blocks.shape
     mlen, moff = candidates_hash_split(blocks, lengths, widths=widths,
                                        neighbors=neighbors, window=window,
                                        interpret=interpret)
     chosen = _parse(mlen, parser, lazy)
+    chosen = chosen.astype(jnp.int32)
     opA, opB = compact_operands(chosen, mlen, moff, window,
                                 interpret=interpret)
     sA = _sort_rows(opA)
     sB = _sort_rows(opB)
-    return _compact_tail(sA, sB, chosen.astype(jnp.int32), lengths,
-                         max_seq, window)
+    if N // min(window, N) > 1:
+        return _merge_tail_fused(sA, sB, chosen, lengths, max_seq, window)
+    return _compact_tail(sA, sB, chosen, lengths, max_seq, window)
+
+
+@functools.partial(jax.jit, static_argnames=("max_seq", "window"),
+                   donate_argnums=(0, 1))
+def _merge_tail_fused(sA, sB, chosen, lengths, max_seq: int, window: int):
+    """Merge + tail as ONE program: the merge sorts are small (N/4) and
+    extra dispatches measured net-slower than their in-jit slowdown at
+    production batch sizes."""
+    gA, gB = _merge_operands(sA, sB, chosen, max_seq, window)
+    gA = jax.lax.sort((gA,), dimension=1, is_stable=False, num_keys=1)[0]
+    gB = jax.lax.sort((gB,), dimension=1, is_stable=False, num_keys=1)[0]
+    return _compact_tail(gA, gB, chosen, lengths, max_seq, window)

@@ -58,8 +58,8 @@ class TpuLevelParams:
 # ~8x cheaper per sort); higher levels keep exact-LCP content sorts with
 # progressively wider windows.
 TPU_LEVEL_TABLE = {
-    1: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8)),
-    2: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8)),
+    1: TpuLevelParams(1, window=32768, matcher="hash", widths=(6,)),
+    2: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8)),
     3: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8)),
     4: TpuLevelParams(2, window=32768, matcher="hash",
                       widths=(4, 5, 6, 8)),

@@ -51,7 +51,10 @@ def test_device_vs_stock_per_level(corpus):
     sees cross-block history on this multi-block corpus), so the bounds
     carry that handicap + missing repcodes; the CPU-native path below has
     context and gets strict bounds."""
-    for lvl, bound in ((1, 1.07), (4, 1.07), (5, 1.02), (9, 1.02)):
+    # L1 is the single-width speed point (device hash matcher); the
+    # software path below holds the strict near-parity line.
+    for lvl, bound in ((1, 1.09), (2, 1.07), (4, 1.07), (5, 1.02),
+                       (9, 1.02)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
         assert ours <= stock * bound, (lvl, ours, stock)
