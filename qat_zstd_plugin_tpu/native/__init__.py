@@ -70,6 +70,11 @@ def _load():
     lib.qz_extend_sequences.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+    lib.qz_fill_gaps.restype = ctypes.c_size_t
+    lib.qz_fill_gaps.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.qz_compress_blocks_mt.restype = None
     lib.qz_compress_blocks_mt.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
@@ -214,6 +219,35 @@ def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
     new_n = lib.qz_extend_sequences(
         block.ctypes.data, ctx_len, len(block) - ctx_len, ll.ctypes.data,
         of.ctypes.data, mm.ctypes.data, len(ll), ctypes.byref(lastlit))
+    return (ll[:new_n].astype(np.int64), of[:new_n].astype(np.int64),
+            mm[:new_n].astype(np.int64), int(lastlit.value))
+
+
+def fill_gaps(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
+              ml: np.ndarray, last_literals: int, ctx_len: int = 0,
+              chain_depth: int = 8, mml: int = 6, min_gap: int = 32):
+    """Re-match long literal runs against the cross-block window context
+    (see qz_fill_gaps). `block` = ctx_len context bytes + the block.
+    Returns (lit, off, ml, last_literals)."""
+    lib = _load()
+    assert lib is not None
+    block = np.ascontiguousarray(block, np.uint8)
+    n = len(block) - ctx_len
+    cap = max(64, len(lit) + n // 8 + 8)
+    ll = np.zeros(cap, np.uint32)
+    of = np.zeros(cap, np.uint32)
+    mm = np.zeros(cap, np.uint32)
+    ll[:len(lit)] = lit
+    of[:len(off)] = off
+    mm[:len(ml)] = ml
+    lastlit = ctypes.c_uint32(last_literals)
+    new_n = lib.qz_fill_gaps(
+        block.ctypes.data, ctx_len, n, ll.ctypes.data, of.ctypes.data,
+        mm.ctypes.data, len(lit), ctypes.byref(lastlit), cap, chain_depth,
+        mml, min_gap)
+    if new_n == ctypes.c_size_t(-1).value:
+        return (np.asarray(lit), np.asarray(off), np.asarray(ml),
+                last_literals)  # overflow: keep the original parse
     return (ll[:new_n].astype(np.int64), of[:new_n].astype(np.int64),
             mm[:new_n].astype(np.int64), int(lastlit.value))
 

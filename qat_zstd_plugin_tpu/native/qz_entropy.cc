@@ -1381,6 +1381,147 @@ size_t qz_block_body(const uint8_t* block, size_t block_len,
 // `base` holds ctx_len bytes of window context followed by the n-byte
 // block: extension compares may read into the context (offsets can reach
 // ctx_len + position back), but sequences still cover only the block.
+// Gap fill: re-match long literal runs against the cross-block window
+// context. The device match pipeline is block-local (its windows cannot
+// reach earlier blocks), so multi-block redundancy shows up as literal
+// runs in its output; this pass probes ONLY those gap bytes against a
+// hash table seeded with the context and the already-matched regions —
+// far cheaper than a full software re-match, and it runs after
+// qz_extend_sequences so inputs are verified sequences. Arrays are
+// rewritten in place (capacity `cap`); returns the new count or
+// SIZE_MAX on overflow.
+size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
+                    uint32_t* lit_lens, uint32_t* offsets,
+                    uint32_t* match_lens, size_t nseq,
+                    uint32_t* last_literals, size_t cap, int chain_depth,
+                    int mml, int min_gap) {
+  if (n < 8) return nseq;
+  const size_t total = ctx_len + n;
+  if (min_gap < 16) min_gap = 16;
+  if (mml < 4) mml = 4;
+  const int hash_log = 17;
+  std::vector<int32_t> head(size_t(1) << hash_log, -1);
+  std::vector<int32_t> prev(total, -1);
+  auto hash_at = [&](size_t p) {
+    uint32_t w;
+    std::memcpy(&w, base + p, 4);
+    return (w * 2654435761u) >> (32 - hash_log);
+  };
+  auto insert = [&](size_t p) {
+    uint32_t h = hash_at(p);
+    prev[p] = head[h];
+    head[h] = static_cast<int32_t>(p);
+  };
+  // Seed: context at stride 2, then the block's matched spans at stride
+  // 2 (gap positions insert lazily as the scan passes them, preserving
+  // "candidates precede the probe" order within gaps).
+  for (size_t p = 0; p + 4 <= ctx_len; p += 2) insert(p);
+  {
+    size_t pos = ctx_len;
+    for (size_t i = 0; i < nseq; ++i) {
+      pos += lit_lens[i];
+      size_t end = pos + match_lens[i];
+      for (size_t p = pos; p + 4 <= std::min(end, total); p += 2)
+        insert(p);
+      pos = end;
+    }
+  }
+  auto match_gap = [&](size_t p, size_t ge, uint32_t* off) -> size_t {
+    size_t limit = std::min(ge, total) - p;
+    if (limit < 4) return 0;
+    size_t best = 0;
+    uint32_t boff = 0;
+    int32_t cand = head[hash_at(p)];
+    int depth = chain_depth < 4 ? 4 : chain_depth;
+    while (cand >= 0 && depth > 0) {
+      if (static_cast<size_t>(cand) < p) {  // skip later-seeded entries
+        size_t l = 0;
+        const uint8_t* a = base + cand;
+        const uint8_t* b = base + p;
+        while (l + 8 <= limit && qz::rd64(a + l) == qz::rd64(b + l))
+          l += 8;
+        while (l < limit && a[l] == b[l]) ++l;
+        if (l > best) {
+          best = l;
+          boff = static_cast<uint32_t>(p - cand);
+        }
+        --depth;
+      }
+      cand = prev[cand];
+    }
+    // Stricter economics than the primary matcher: a gap match also
+    // perturbs the established LL/ML/OF code distributions and the rep
+    // chain, so it must clearly pay — near matches at the level's mml,
+    // mid-range from 8 bytes, far (cross-block) from 12.
+    bool worth = (best >= 12)
+                 || (best >= 8 && boff <= 65536)
+                 || (best >= static_cast<size_t>(mml) && boff <= 1024);
+    if (!worth) return 0;
+    *off = boff;
+    return best;
+  };
+
+  std::vector<qz::Sequence> out;
+  out.reserve(nseq + 64);
+  auto scan_gap = [&](size_t gs, size_t ge, uint64_t* lead_lit) {
+    // Greedy re-match inside [gs, ge); *lead_lit accumulates literals
+    // still unmatched before the next emitted element.
+    size_t p = gs;
+    size_t lit_from = gs;
+    while (p + 4 <= ge) {
+      uint32_t off = 0;
+      size_t len = match_gap(p, ge, &off);
+      if (len == 0) {
+        insert(p);
+        ++p;
+        continue;
+      }
+      // Backward extension into this gap's pending literals.
+      while (p > lit_from && p - 1 + 0 >= static_cast<size_t>(off) &&
+             base[p - 1] == base[p - 1 - off]) {
+        --p;
+        ++len;
+      }
+      out.push_back({static_cast<uint32_t>(*lead_lit + (p - lit_from)),
+                     off, static_cast<uint32_t>(len)});
+      *lead_lit = 0;
+      size_t end = p + len;
+      for (size_t q = p; q + 4 <= end; q += 2) insert(q);
+      p = end;
+      lit_from = end;
+    }
+    *lead_lit += ge - lit_from;
+  };
+
+  size_t pos = ctx_len;
+  uint64_t lead = 0;
+  for (size_t i = 0; i < nseq; ++i) {
+    size_t gs = pos;
+    size_t ge = pos + lit_lens[i];
+    if (lit_lens[i] >= static_cast<uint32_t>(min_gap))
+      scan_gap(gs, ge, &lead);
+    else
+      lead += lit_lens[i];
+    out.push_back({static_cast<uint32_t>(lead), offsets[i],
+                   match_lens[i]});
+    lead = 0;
+    pos = ge + match_lens[i];
+  }
+  uint64_t tail = *last_literals;
+  if (tail >= static_cast<uint64_t>(min_gap))
+    scan_gap(pos, pos + tail, &lead);
+  else
+    lead += tail;
+  if (out.size() > cap) return static_cast<size_t>(-1);
+  for (size_t i = 0; i < out.size(); ++i) {
+    lit_lens[i] = out[i].lit_len;
+    offsets[i] = out[i].offset;
+    match_lens[i] = out[i].match_len;
+  }
+  *last_literals = static_cast<uint32_t>(lead);
+  return out.size();
+}
+
 size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
                            uint32_t* lit_lens, uint32_t* offsets,
                            uint32_t* match_lens, size_t nseq,

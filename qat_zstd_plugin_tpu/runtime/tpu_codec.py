@@ -381,6 +381,14 @@ class TpuCodec:
                 ll, of, ml, lastlit = native.extend_sequences(
                     cblk, seqs.lit_lengths, seqs.offsets,
                     seqs.match_lengths, seqs.last_literals, ctx_len=ctx)
+                # The device match window is segment-local (32K); this
+                # re-matches the long literal runs it left behind against
+                # the full block AND the cross-block window context
+                # (stock zstd's streaming-matcher advantage, recovered
+                # host-side at gap-bytes-only cost).
+                ll, of, ml, lastlit = native.fill_gaps(
+                    cblk, ll, of, ml, lastlit, ctx_len=ctx,
+                    chain_depth=gp.chain_depth, mml=gp.mml)
                 seqs = BlockSequences(ll, of, ml, lastlit)
             if seqs is None:
                 if use_native:

@@ -108,3 +108,39 @@ def test_threaded_encode_deterministic():
     with ThreadPoolExecutor(8) as p:
         outs = list(p.map(body, range(16)))
     assert all(o == outs[0] for o in outs)
+
+
+def test_fill_gaps_finds_far_matches():
+    """Literal runs the block-local device window missed must be
+    re-matched against the window context (cross-block) and the rest of
+    the block by the gap-fill pass."""
+    rng = np.random.default_rng(11)
+    ctx = rng.integers(0, 256, 40000, np.uint8).astype(np.uint8)
+    secret = rng.integers(0, 256, 3000, np.uint8).astype(np.uint8)
+    ctx[5000:8000] = secret
+    junk = rng.integers(0, 256, 2000, np.uint8).astype(np.uint8)
+    block = np.concatenate([junk, secret, junk[::-1]])
+    buf = np.concatenate([ctx, block])
+    # Device-ish parse that found nothing: one all-literal block.
+    ll, of, ml, last = native.fill_gaps(
+        buf, np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.zeros(0, np.int64), len(block), ctx_len=len(ctx),
+        chain_depth=8, mml=6)
+    assert len(ll) >= 1
+    far = of > 30000
+    assert far.any(), "cross-block match not found"
+    assert ml[far].max() >= 2500
+    # Span invariant + byte-faithfulness (context-aware validator).
+    assert ll.sum() + ml.sum() + last == len(block)
+    matcher.validate_sequences(buf, BlockSequences(ll, of, ml, last),
+                               ctx_len=len(ctx))
+
+
+def test_fill_gaps_preserves_good_parse():
+    """Blocks with no big literal runs come back unchanged."""
+    data = np.frombuffer(b"abcdefgh" * 2000, np.uint8)
+    ll, of, ml, last = native.find_sequences(data, 8, False, mml=4)
+    ll2, of2, ml2, last2 = native.fill_gaps(data, ll, of, ml, last,
+                                            ctx_len=0, mml=4)
+    assert ll2.sum() + ml2.sum() + last2 == len(data)
+    assert len(ll2) == len(ll) and (of2 == of).all()

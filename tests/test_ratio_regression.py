@@ -53,8 +53,9 @@ def test_device_vs_stock_per_level(corpus):
     context and gets strict bounds."""
     # L1 is the single-width speed point (device hash matcher); the
     # software path below holds the strict near-parity line.
-    for lvl, bound in ((1, 1.09), (2, 1.07), (4, 1.07), (5, 1.02),
-                       (9, 1.02)):
+    # Gap-fill (cross-block host re-match) pulled L5 under stock.
+    for lvl, bound in ((1, 1.09), (2, 1.07), (4, 1.07), (5, 1.0),
+                       (9, 1.01)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
         assert ours <= stock * bound, (lvl, ours, stock)

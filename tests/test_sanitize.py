@@ -54,6 +54,8 @@ for i in range(len(big) // bs):
     ll, of, ml, last = native.find_sequences(cblk, 8, True, ctx_len=ctx)
     ll, of, ml, last = native.extend_sequences(cblk, ll, of, ml, last,
                                                ctx_len=ctx)
+    ll, of, ml, last = native.fill_gaps(cblk, ll, of, ml, last,
+                                        ctx_len=ctx)
     body = native.block_body(buf[i * bs:(i + 1) * bs], ll, of, ml, last)
 # 3) adversarial sequence inputs into the entropy/extend paths
 blk = np.frombuffer(text[:5000], np.uint8)
