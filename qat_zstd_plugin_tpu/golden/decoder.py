@@ -336,7 +336,7 @@ def decompress(frame: bytes) -> bytes:
             # when the bytes happen to exist in the output so far.
             wd = frame[pos]
             exponent = 10 + (wd >> 3)
-            if exponent > 41:
+            if exponent > 31:  # tables.MAX_WINDOW_LOG: reject >2GB windows
                 raise DecodeError("window too large")
             base = 1 << exponent
             window_size = base + (base // 8) * (wd & 7)

@@ -234,19 +234,6 @@ def _run_state_kernel(code_rows, lane_tables, inits, nseq,
     return out
 
 
-def _init_state(table: fse.EncodeTable, sym: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized FSE_initCState2 (XLA, one-hot over symbol constants)."""
-    dnb = _const_lookup(np.asarray(table.delta_nb_bits, np.int64)
-                        .astype(np.int32), sym)
-    dfs = _const_lookup(np.asarray(table.delta_find_state, np.int64)
-                        .astype(np.int32), sym)
-    nb_out = (dnb + (1 << 15)) >> 16
-    value = (nb_out << 16) - dnb
-    idx = (value >> nb_out) + dfs
-    st = np.asarray(table.state_table, np.int32)
-    return _const_lookup(st, idx)
-
-
 def _init_state_lane(dnb_tbl: jnp.ndarray, dfs_tbl: jnp.ndarray,
                      st_tbl: jnp.ndarray, sym: jnp.ndarray) -> jnp.ndarray:
     """Vectorized FSE_initCState2 with per-block tables.

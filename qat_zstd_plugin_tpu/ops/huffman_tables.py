@@ -65,9 +65,7 @@ def build_tables(hist: jnp.ndarray):
         can = present & (ln < MAX_BITS)
         gain = jnp.where(can, UNIT >> (ln + 1), 0)      # halves the term
         order = _rank_desc(jnp.where(can, -hist, -(1 << 30)))
-        # cumulative gain along ascending-hist order:
-        inv = _rank_desc(-order)  # positions sorted ascending by order
-        # simpler: gains in rank order via one-hot permutation
+        # gains in ascending-hist rank order via one-hot permutation
         oh = order[:, :, None] == jnp.arange(K, dtype=jnp.int32)
         g_sorted = (oh * gain[:, :, None]).sum(axis=1)  # (B, K) by rank
         cum = jnp.cumsum(g_sorted, axis=1)

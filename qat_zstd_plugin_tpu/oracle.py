@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import threading
 from functools import lru_cache
 
 
@@ -216,6 +217,16 @@ def compress_with_producer(data: bytes, produce, level: int = 1,
         out = dst.raw[:ret]
     finally:
         lib.ZSTD_freeCCtx(cctx)
-    out_stats = calls
-    compress_with_producer.last_stats = out_stats
+    # Per-thread stats (concurrent benchmark workers must not clobber each
+    # other); the function attribute remains for single-threaded callers.
+    _producer_tls.stats = calls
+    compress_with_producer.last_stats = calls
     return out
+
+
+_producer_tls = threading.local()
+
+
+def last_producer_stats() -> dict | None:
+    """Stats of this thread's most recent compress_with_producer call."""
+    return getattr(_producer_tls, "stats", None)

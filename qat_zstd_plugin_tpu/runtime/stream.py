@@ -129,8 +129,16 @@ class StreamCompressor:
         self.blocks_emitted = 0  # the resumable block cursor
 
     def _header(self) -> bytes:
+        # The declared window must cover the largest offset any block can
+        # emit: compress_bodies gives blocks cross-block context up to
+        # the level's stream window (golden LEVEL_TABLE window_log), not
+        # just the block size — an under-declared window decodes wrong
+        # bytes under streaming decoders (offsets past the window wrap).
+        from ..golden import codec as golden_codec
+        gp = golden_codec.level_params(self.codec.level)
         wlog = max(tables.MIN_WINDOW_LOG,
-                   min(17, (self.block_size - 1).bit_length()))
+                   min(17, (self.block_size - 1).bit_length()),
+                   gp.window_log)
         return _stream_frame_header(wlog, self.checksum)
 
     def _emit_blocks(self, data: np.ndarray, last: bool) -> bytes:

@@ -103,3 +103,51 @@ def test_fuzz_stream_roundtrip(seed):
     out += sc.finish()
     data = b"".join(chunks)
     assert oracle.decompress(bytes(out), len(data)) == data
+
+
+def test_stream_window_covers_cross_block_offsets():
+    """Regression (review find): the streaming frame header must declare
+    a window covering the cross-block offsets compress_bodies can emit;
+    an under-declared window decodes WRONG BYTES under streaming
+    decoders while single-shot ZSTD_decompress masks it."""
+    import ctypes
+
+    import numpy as np
+
+    from qat_zstd_plugin_tpu.runtime.stream import StreamCompressor
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, 400_000, np.uint8).tobytes()
+    data = base * 2  # second copy matches at ~400K offsets (cross-block)
+    sc = StreamCompressor(level=3, use_device=False)
+    f = sc.compress(data) + sc.finish()
+
+    lib = ctypes.CDLL("libzstd.so.1")
+
+    class _Buf(ctypes.Structure):
+        _fields_ = [("src", ctypes.c_void_p), ("size", ctypes.c_size_t),
+                    ("pos", ctypes.c_size_t)]
+
+    lib.ZSTD_createDStream.restype = ctypes.c_void_p
+    lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
+    lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+    lib.ZSTD_decompressStream.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(_Buf), ctypes.POINTER(_Buf)]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+
+    ds = lib.ZSTD_createDStream()
+    try:
+        src = ctypes.create_string_buffer(f, len(f))
+        dst = ctypes.create_string_buffer(len(data) + 64)
+        inb = _Buf(ctypes.cast(src, ctypes.c_void_p), len(f), 0)
+        outb = _Buf(ctypes.cast(dst, ctypes.c_void_p), len(data) + 64, 0)
+        while inb.pos < inb.size:
+            r = lib.ZSTD_decompressStream(ds, ctypes.byref(outb),
+                                          ctypes.byref(inb))
+            assert not lib.ZSTD_isError(r), "streaming decode error"
+            if r == 0:
+                break
+        assert dst.raw[:outb.pos] == data, "streaming decode mismatch"
+    finally:
+        lib.ZSTD_freeDStream(ds)
