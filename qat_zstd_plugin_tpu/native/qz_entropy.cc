@@ -11,7 +11,7 @@
 // Written from the RFC 8878 format spec; no code from the reference (which
 // contains no entropy coder) or libzstd.
 //
-// C ABI at the bottom; driven from Python via ctypes (native_bridge.py).
+// C ABI at the bottom; driven from Python via ctypes (native/__init__.py).
 
 #include <algorithm>
 #include <atomic>

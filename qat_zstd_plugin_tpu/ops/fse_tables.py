@@ -185,6 +185,7 @@ def plan_streams(codes: jnp.ndarray, valid: jnp.ndarray, kind: str):
         return bits.sum(axis=1)
 
     pre_np = _predef_norm(kind)
+    pre_nsym = len(pre_np)  # predefined alphabet size (OF: 29 < K=32)
     if len(pre_np) < K:  # predefined OF alphabet is shorter than ours
         pre_np = np.concatenate([pre_np, np.zeros(K - len(pre_np),
                                                   np.int32)])
@@ -200,9 +201,14 @@ def plan_streams(codes: jnp.ndarray, valid: jnp.ndarray, kind: str):
     # Rough description cost: ~al+1 bits per present symbol + zero runs.
     desc_bits = (npresent + 2) * (al + 1) + 16
     custom_bits = stream_bits(norm) + desc_bits
-    # Predefined only legal when every present code fits its alphabet
-    # (always true here: K == predefined alphabet size).
-    use_custom = (custom_bits < pre_bits) & (npresent >= 2) & (n >= 16)
+    # Predefined is only legal when every present code fits the predefined
+    # alphabet (OF predefined has 29 symbols vs K=32; codes >= 29 MUST use
+    # a custom table or the stream would be illegal). Unreachable today
+    # (block-local offsets <= 128K => OF codes <= ~18) but guarded.
+    over_predef = (hist[:, pre_nsym:] > 0).any(axis=1) if pre_nsym < K \
+        else jnp.zeros(hist.shape[0], bool)
+    use_custom = ((custom_bits < pre_bits) & (npresent >= 2) & (n >= 16)) \
+        | over_predef
 
     custom_t = build_tables(norm, al)
     pre_table = fse.build_encode_table(

@@ -136,9 +136,7 @@ class StreamCompressor:
         # bytes under streaming decoders (offsets past the window wrap).
         from ..golden import codec as golden_codec
         gp = golden_codec.level_params(self.codec.level)
-        wlog = max(tables.MIN_WINDOW_LOG,
-                   min(17, (self.block_size - 1).bit_length()),
-                   gp.window_log)
+        wlog = max(tables.MIN_WINDOW_LOG, gp.window_log)
         return _stream_frame_header(wlog, self.checksum)
 
     def _emit_blocks(self, data: np.ndarray, last: bool) -> bytes:

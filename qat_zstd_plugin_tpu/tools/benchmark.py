@@ -219,6 +219,10 @@ def run(argv=None) -> int:
     agg = sum(r.comp_mbs for r in results if r)
     print(f"aggregate compress: {agg:.1f} MB/s over {args.threads} threads "
           f"({wall:.1f}s wall)")
+    if args.threads > 1:
+        print("note: -t threads share the GIL during Python orchestration; "
+              "per-thread MB/s overlap. Use -P for process-level "
+              "concurrency.")
     if args.json:
         import json
         print(json.dumps({
