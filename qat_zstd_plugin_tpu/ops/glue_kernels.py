@@ -236,7 +236,10 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
         chg = x != xn
         r = jnp.where(chg, gp, big)
         step = 1
-        for _ in range(14):
+        # Doubling to cover runs up to min(16383, N) — fixed 14 steps
+        # would roll by more than the lane count on small blocks.
+        nsteps = min(14, max(1, (N - 1).bit_length()))
+        for _ in range(nsteps):
             r = jnp.minimum(r, _shl(r, step, big, gp))
             step *= 2
         len1 = r - gp + 1
@@ -565,3 +568,122 @@ def _merge_tail_fused(sA, sB, chosen, lengths, max_seq: int, window: int):
     gA = jax.lax.sort((gA,), dimension=1, is_stable=False, num_keys=1)[0]
     gB = jax.lax.sort((gB,), dimension=1, is_stable=False, num_keys=1)[0]
     return _compact_tail(gA, gB, chosen, lengths, max_seq, window)
+
+
+# ---------------------------------------------------------------------------
+# Positions contract (the hash fast path's lean device->host protocol).
+#
+# The host extension pass (native qz_extend_sequences) recomputes every
+# match's TRUE length by byte comparison regardless of the claimed length,
+# so carrying lengths off the device is pure waste for the hash matcher:
+# the device sends only (position, offset) per chosen claim and the host
+# reconstructs (lit_len, offset, MIN_MATCH) claims, which extension turns
+# into exact sequences. This removes one of the two full-size compaction
+# sorts and halves the merge sorts.
+#
+# Second win: the greedy parse spaces chosen positions >= MIN_MATCH (=4)
+# apart, so each aligned 4-byte slot holds at most one claim — the
+# compaction sort runs on an N/4 slot grid (4x fewer elements) built by an
+# in-kernel windowed min.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def compact_slots(chosen: jnp.ndarray, moff: jnp.ndarray, window: int,
+                  interpret: bool | None = None):
+    """(B, N) parse outputs -> ((B*nseg, w/4) u32 slot sort keys,
+    (B*nseg, 1) i32 per-segment claim counts).
+
+    Slot key: real claim  -> (local_pos << 16) | offset   (local_pos < w)
+              empty slot  -> ((w + slot*4) << 16) | slot
+    Sorting ascending puts claims first in position order; empty-slot keys
+    stay distinct (healthy sort distribution). Offsets must be < w <= 32K
+    (15 bits); offset 0 is reserved for table-carried long-range claims.
+
+    The 4:1 slot reduction takes four host-side strided views of each
+    input (Mosaic cannot split the lane dim in-kernel); XLA slices feeding
+    a Pallas kernel are safe — the downstream sort consumes the kernel's
+    output, so its fast path is preserved.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = chosen.shape
+    w = min(window, N)
+    nseg = N // w
+    rows = _rows(B)
+    assert w <= 32768
+    Ns = N // 4  # slots per block
+    ws = w // 4  # slots per segment
+
+    def kernel(*refs):
+        ch = [refs[k][...] for k in range(4)]
+        of = [refs[4 + k][...] for k in range(4)]
+        sl = jax.lax.broadcasted_iota(jnp.int32, (rows, Ns), 1) \
+            & jnp.int32(ws - 1)  # slot index within segment
+        # Claim key per subslot k (position = 4*slot + k), sign-flipped
+        # for i32 min (Mosaic lacks unsigned reductions).
+        empty = (((sl * 4 + jnp.int32(w)) << 16) | sl) \
+            ^ jnp.int32(-0x80000000)
+        best = empty
+        for k in range(4):
+            chk = ch[k] != 0
+            keyk = ((((sl * 4) + k) << 16) | of[k]) \
+                ^ jnp.int32(-0x80000000)
+            best = jnp.minimum(best, jnp.where(chk, keyk, empty))
+        best = (best ^ jnp.int32(-0x80000000)).astype(jnp.uint32)
+        refs[8][...] = best.reshape(rows * nseg, ws)
+
+    spec = pl.BlockSpec((rows, Ns), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    ch4 = [chosen[:, k::4] for k in range(4)]
+    of4 = [moff[:, k::4] for k in range(4)]
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec] * 8,
+        out_specs=pl.BlockSpec((rows * nseg, ws), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nseg, ws), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(*[c.astype(jnp.int32) for c in ch4], *of4)
+
+
+def find_matches_positions(blocks, lengths, widths=(6,),
+                           neighbors: int = 1, window: int = 32768,
+                           max_seq: int = 16384, parser: str = "pallas",
+                           lazy: bool = False, psegs: int = 1,
+                           interpret: bool | None = None):
+    """Hash-matcher pipeline with the segment-slots device->host contract.
+
+    Returns the sorted slot-key array (B*nseg, w/4) u32: each row holds
+    that window segment's chosen claims first, in position order, as
+    (local_pos << 16 | offset) words (empty-slot words, >= w << 16, fill
+    the tail). There is NO device-side merge across segments: segments
+    tile the block in order, so the host concatenates per-segment claim
+    prefixes directly (unpack_segments) — cheaper than a device merge
+    sort, with no per-segment capacity limit and no overflow cases (a
+    w-byte segment physically holds <= w/4 claims).
+
+    The host reconstructs tiled MIN_MATCH claims from the positions and
+    the native extension pass derives exact lengths (see compact_slots).
+    This is the production fast-level path; max_seq is unused (kept for
+    signature compatibility with the packed-contract pipelines).
+    """
+    from .match_pipeline import _parse
+
+    mlen, moff = candidates_hash_split(blocks, lengths, widths=widths,
+                                       neighbors=neighbors, window=window,
+                                       interpret=interpret)
+    if parser == "pallas" or psegs > 1:
+        # psegs relies on the kernel's segment-end truncation to keep the
+        # >= MIN_MATCH claim spacing invariant, so it always routes through
+        # the Pallas parse (interpret mode off-TPU).
+        from . import parse_kernel
+        chosen = parse_kernel.parse_greedy_pallas(
+            mlen, lazy=lazy, psegs=psegs, interpret=interpret)
+    else:
+        chosen = _parse(mlen, parser, lazy)
+    chosen = chosen.astype(jnp.int32)
+    keys = compact_slots(chosen, moff, window, interpret=interpret)
+    return _sort_rows(keys)

@@ -844,6 +844,56 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
     return packed, words, bits, sec_over, plan, lits
 
 
+def find_matches_positions(blocks, lengths, widths=(6,), neighbors: int = 1,
+                           window: int = 32768, max_seq: int = 16384,
+                           parser: str | None = None, lazy: bool = False,
+                           psegs: int = 1):
+    """Hash-matcher pipeline, segment-slots device->host contract (see
+    glue_kernels.find_matches_positions). Works on every backend (Pallas
+    interpret mode off-TPU); the production fast-level path."""
+    import jax
+    from . import glue_kernels
+    if parser is None:
+        parser = "pallas" if jax.default_backend() == "tpu" else "scan"
+    return glue_kernels.find_matches_positions(
+        blocks, lengths, widths=tuple(widths), neighbors=neighbors,
+        window=window, max_seq=max_seq, parser=parser, lazy=lazy,
+        psegs=psegs)
+
+
+def unpack_segments(slot_keys: np.ndarray, nblocks: int, window: int
+                    ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Host-side unpack of the segment-slots contract.
+
+    slot_keys: (nblocks*nseg, w/4) u32, each row a sorted window segment:
+    claim words (local_pos << 16 | offset) first in position order, then
+    empty-slot words (>= w << 16). Returns per block (positions, offsets)
+    in block-position order (segments tile the block, so concatenating
+    per-segment prefixes preserves order).
+    """
+    sk = np.asarray(slot_keys)
+    R, ws = sk.shape
+    nseg = R // nblocks
+    w = ws * 4
+    counts = (sk < np.uint32(w << 16)).sum(axis=1)
+    pos_l = (sk >> 16).astype(np.int64)
+    off_l = (sk & 0x7FFF).astype(np.int64)
+    out = []
+    for b in range(nblocks):
+        parts_p, parts_o = [], []
+        for s in range(nseg):
+            r = b * nseg + s
+            c = counts[r]
+            if c:
+                parts_p.append(pos_l[r, :c] + s * w)
+                parts_o.append(off_l[r, :c])
+        if parts_p:
+            out.append((np.concatenate(parts_p), np.concatenate(parts_o)))
+        else:
+            out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
+    return out
+
+
 def unpack_outputs(packed: np.ndarray) -> dict:
     """Host-side unpack of pack_outputs (vectorized numpy)."""
     packed = np.asarray(packed)

@@ -32,7 +32,7 @@ from .match_pipeline import MIN_MATCH
 CHUNK = 2048  # positions per grid step
 
 
-def _make_kernel(lazy: bool):
+def _make_kernel(lazy: bool, np_total: int, trunc: bool):
     def kernel(mlen_ref, mnext_ref, chosen_ref, cursor_ref):
         step = pl.program_id(0)
 
@@ -45,6 +45,14 @@ def _make_kernel(lazy: bool):
         def body(i, cur):
             t = base + i
             col = mlen_ref[i, :]
+            if trunc:
+                # Parse-segmented mode: candidates may not cross the
+                # segment end (each lane is an independent (block, parse
+                # segment) pair; a crossing match would overlap the next
+                # lane's cover). Truncation below MIN_MATCH simply drops
+                # the tail match — the host extension/gap-fill passes
+                # recover the bytes.
+                col = jnp.minimum(col, np_total - t)
             active = cur == t
             take = active & (col >= MIN_MATCH)
             if lazy:
@@ -58,34 +66,49 @@ def _make_kernel(lazy: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "lazy"))
+@functools.partial(jax.jit, static_argnames=("interpret", "lazy", "psegs"))
 def parse_greedy_pallas(mlen: jnp.ndarray, interpret: bool | None = None,
-                        lazy: bool = False) -> jnp.ndarray:
+                        lazy: bool = False, psegs: int = 1) -> jnp.ndarray:
     """Greedy parse of candidate lengths. mlen: (B, N) -> chosen (B, N) bool.
 
     Equivalent to match_pipeline.parse_greedy_scan (differentially tested);
     runs as a Pallas kernel on TPU, interpret mode elsewhere.
+
+    psegs > 1 splits each block's position axis into psegs independent
+    parse segments laid out as extra lanes: the sequential sweep shortens
+    to N/psegs steps and the VPU lane axis fills to B*psegs. Candidates
+    are truncated at segment ends (no cross-lane matches), which is
+    ratio-free in the verified-claims flow: the host extension re-extends
+    forward across the boundary and gap-fill re-matches dropped tails.
+    Use only on paths whose claims are host-verified (hash matcher).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, N = mlen.shape
-    chunk = min(CHUNK, N)
-    assert N % chunk == 0, (N, chunk)
-    mt = mlen.T  # (N, B): lanes = blocks
+    if psegs > 1:
+        assert N % psegs == 0, (N, psegs)
+        mlen = mlen.reshape(B * psegs, N // psegs)
+    R, Np = mlen.shape
+    chunk = min(CHUNK, Np)
+    assert Np % chunk == 0, (Np, chunk)
+    mt = mlen.T  # (Np, R): lanes = (block, parse segment)
     mnext = jnp.concatenate(
-        [mlen[:, 1:], jnp.zeros((B, 1), mlen.dtype)], axis=1).T
+        [mlen[:, 1:], jnp.zeros((R, 1), mlen.dtype)], axis=1).T
 
-    grid = (N // chunk,)
-    spec = pl.BlockSpec((chunk, B), lambda i: (i, 0),
+    grid = (Np // chunk,)
+    spec = pl.BlockSpec((chunk, R), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     chosen_t = pl.pallas_call(
-        _make_kernel(lazy),
+        _make_kernel(lazy, Np, psegs > 1),
         grid=grid,
         in_specs=[spec, spec],
-        out_specs=pl.BlockSpec((chunk, B), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((chunk, R), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, B), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((Np, R), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, R), jnp.int32)],
         interpret=interpret,
     )(mt, mnext)
-    return chosen_t.T.astype(bool)
+    chosen = chosen_t.T
+    if psegs > 1:
+        chosen = chosen.reshape(B, N)
+    return chosen.astype(bool)

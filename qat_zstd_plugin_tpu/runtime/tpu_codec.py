@@ -52,17 +52,24 @@ class TpuLevelParams:
     # sorts carrying content words.
     matcher: str = "content"
     widths: tuple = (4, 8)
+    # Hash-path tuning: psegs parse-segments each block (extra VPU lanes,
+    # fewer sequential steps; claims stay host-verified so segment-end
+    # truncation is ratio-free).
+    psegs: int = 1
 
 
 # Fast levels ride the hash matcher (XLA's single-operand sort fast path,
 # ~8x cheaper per sort); higher levels keep exact-LCP content sorts with
 # progressively wider windows.
 TPU_LEVEL_TABLE = {
-    1: TpuLevelParams(1, window=32768, matcher="hash", widths=(6,)),
-    2: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8)),
-    3: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8)),
+    1: TpuLevelParams(1, window=32768, matcher="hash", widths=(6,),
+                      psegs=4),
+    2: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8),
+                      psegs=4),
+    3: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8),
+                      psegs=4),
     4: TpuLevelParams(2, window=32768, matcher="hash",
-                      widths=(4, 5, 6, 8)),
+                      widths=(4, 5, 6, 8), psegs=4),
     5: TpuLevelParams(4, lazy=True, window=32768),
     6: TpuLevelParams(6, lazy=True, window=32768),
     7: TpuLevelParams(6, lazy=True),
@@ -86,6 +93,30 @@ def coalesce_sequences(lit: np.ndarray, off: np.ndarray, ml: np.ndarray
     starts = np.flatnonzero(~same)
     ml_m = np.add.reduceat(ml, starts)
     return lit[starts], off[starts], ml_m
+
+
+def device_positions_to_claims(pos: np.ndarray, off: np.ndarray,
+                               block_len: int) -> BlockSequences:
+    """Segment-slots unpack: rebuild claims from claim positions. The
+    claims are intentionally length-less — the native extension pass
+    recomputes true lengths by byte comparison (and the parse guarantees
+    >= 4-byte spacing, so positions tile cleanly)."""
+    ns = len(pos)
+    lit = np.zeros(ns, np.int64)
+    ml = np.empty(ns, np.int64)
+    last_lit = block_len
+    if ns:
+        # Tiled spans: claim [pos_i, pos_{i+1}) as match body. The
+        # extension pass recomputes true literal runs and match lengths
+        # from byte comparison (claimed ml is only an upper span), and
+        # generous spans keep claims alive through front-trimming when an
+        # earlier match's true extension overruns them (a 4-byte claim
+        # would be discarded untested).
+        lit[0] = pos[0]
+        ml[:-1] = pos[1:] - pos[:-1]
+        ml[-1] = 4
+        last_lit = block_len - int(pos[-1]) - 4
+    return BlockSequences(lit, off, ml, last_lit)
 
 
 def device_outputs_to_sequences(out: dict, block_index: int
@@ -168,6 +199,17 @@ class TpuCodec:
                         window=self.params.window,
                         custom_tables=self.params.custom_tables,
                         device_literals=self.params.huffman)
+            elif self._matcher() == "hash":
+                # Positions contract: device sends (pos, off) claims only;
+                # the host extension derives exact lengths (the lean
+                # return-path protocol, see glue_kernels.compact_slots).
+                def run(blocks, lengths):
+                    return match_pipeline.find_matches_positions(
+                        blocks, lengths, widths=self.params.widths,
+                        neighbors=self.params.neighbors,
+                        window=self.params.window, max_seq=self.max_seq,
+                        parser=parser, lazy=self.params.lazy,
+                        psegs=self.params.psegs)
             else:
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_packed(
@@ -196,7 +238,7 @@ class TpuCodec:
                 [lengths_np, np.zeros(self.batch - b, np.int32)])
         packed = self._pipeline()(jnp.asarray(blocks_np),
                                   jnp.asarray(lengths_np))
-        return b, packed
+        return b, lengths_np, packed
 
 
     def collect_batch(self, handle):
@@ -205,7 +247,7 @@ class TpuCodec:
         sequences are raw (uncoalesced) when a device section is present,
         since the section already encodes them."""
         from ..ops import bitpack, match_pipeline
-        b, result = handle
+        b, lengths, result = handle
         if self.device_entropy:
             packed, words, bits, sec_over, plan, lits = result
             out = match_pipeline.unpack_outputs_wide(np.asarray(packed))
@@ -270,6 +312,11 @@ class TpuCodec:
                 res.append((seqs, (lit_sec, sec)))
             return res
         packed = result
+        if self._matcher() == "hash":
+            per_block = match_pipeline.unpack_segments(
+                np.asarray(packed), self.batch, self.params.window)
+            return [(device_positions_to_claims(p, o, lengths[i]), None)
+                    for i, (p, o) in enumerate(per_block[:b])]
         out = match_pipeline.unpack_outputs(np.asarray(packed))
         return [(device_outputs_to_sequences(out, i), None)
                 for i in range(b)]
