@@ -1,17 +1,22 @@
 #!/usr/bin/env python3
 """Benchmark: TPU zstd-codec throughput. Prints ONE JSON line.
 
-Two numbers measured, mirroring how accelerator codecs are specified:
+Measured rows (mirroring the reference benchmark's -m modes, which put the
+software baseline and the accelerator number in the same run —
+test/benchmark.c:79,261-266):
 
 * value (primary): device match-pipeline throughput with inputs resident in
-  HBM — the TPU analog of the QAT DC engine's rated throughput (the
-  reference hardware's spec'd number, which its benchmark approaches as
-  PCIe allows). Measured over the full candidates->parse->compact->pack
-  program, steady state.
-* e2e_mbs: end-to-end frame production (host -> device -> host -> entropy
-  -> frame). In this dev environment the host<->device link is a tunneled
-  remote TPU at ~30-110 MB/s with ~60ms/RPC, so e2e is link-bound; on
-  directly-attached hardware e2e approaches min(device, host entropy).
+  HBM — the TPU analog of the QAT DC engine's rated throughput. Median of
+  K dependent-chain samples with spread reported (see BENCH_NOTES.md for
+  why block_until_ready cannot be trusted on this relay).
+* device_entropy_mbs / device_entropy_ratio: the full on-device entropy
+  mode (device emits complete FSE sequence sections + Huffman literals).
+* cpu_native_mbs / cpu_native_ratio: the software fallback path (mode-0
+  analog), same corpus and level.
+* stock_ratio: stock libzstd 1.5.4 at the same level on the same corpus.
+* e2e_mbs: end-to-end frame production. On this dev box the host<->device
+  link is a tunneled remote TPU (~30-110 MB/s, ~60ms/RPC) so e2e is
+  link-bound; on attached hardware it approaches min(device, host entropy).
 
 Correctness gate: the e2e frame must round-trip bit-exactly through stock
 libzstd 1.5.4 or the result is reported as invalid.
@@ -39,6 +44,7 @@ LEVEL = 1
 # in-flight HBM budget and serializes on this dev relay).
 BATCH = 64
 BLOCK = 131072
+K_SAMPLES = 5  # median-of-K with spread (VERDICT r2: report variance)
 
 
 def make_corpus(nbytes: int, seed: int = 0) -> bytes:
@@ -74,6 +80,28 @@ def make_corpus(nbytes: int, seed: int = 0) -> bytes:
     return b"".join(parts)[:nbytes]
 
 
+def _chain_timer(run, fetch_scalar):
+    """Time K-rep dependent chains closed by a real scalar fetch;
+    (chain(5)-chain(1))/4 removes dispatch/fetch latency from the per-rep
+    figure (block_until_ready returns early over the axon relay)."""
+    def chain(k: int) -> float:
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(k):
+            out = run()
+            v = fetch_scalar(out)
+            acc = v if acc is None else acc + v
+        _ = int(acc)
+        return time.perf_counter() - t0
+    return chain
+
+
+def _median_spread(samples: list[float]) -> tuple[float, float]:
+    med = float(np.median(samples))
+    spread = (max(samples) - min(samples)) / med if med else 0.0
+    return med, spread
+
+
 def main() -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -88,59 +116,98 @@ def main() -> None:
     data = make_corpus(CORPUS_MB << 20)
     buf = np.frombuffer(data, np.uint8)
     params = TPU_LEVEL_TABLE[LEVEL]
-    neighbors = params.neighbors
-    parser = "pallas" if jax.default_backend() == "tpu" else "scan"
+    on_tpu = jax.default_backend() == "tpu"
+    parser = "pallas" if on_tpu else "scan"
 
-    # --- device-resident pipeline throughput (primary)
+    # --- device-resident pipeline throughput (primary): the positions
+    # (segment-slots) contract, the production fast-level path.
     B = BATCH
     blocks_np = np.ascontiguousarray(buf[: B * BLOCK].reshape(B, BLOCK))
     blocks = jax.device_put(jnp.asarray(blocks_np))
     lengths = jax.device_put(jnp.full((B,), BLOCK, jnp.int32))
 
     def run_dev():
-        return mp.find_matches_packed(blocks, lengths, neighbors=neighbors,
-                                      max_seq=16384, parser=parser,
-                                      lazy=params.lazy,
-                                      stride=params.stride,
-                                      window=params.window,
-                                      matcher=params.matcher,
-                                      widths=params.widths)
+        return mp.find_matches_positions(
+            blocks, lengths, widths=params.widths,
+            neighbors=params.neighbors, window=params.window,
+            max_seq=16384, parser=parser, lazy=params.lazy,
+            psegs=params.psegs)
 
-    # block_until_ready returns early over the tunneled relay, so time a
-    # dependent chain of K reps closed by a real scalar fetch, and subtract
-    # the 1-rep baseline (removes RPC latency from the per-rep figure).
-    def chain(k: int) -> float:
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(k):
-            out = run_dev()
-            v = out[0, 0, 0]
-            acc = v if acc is None else acc + v
-        _ = int(acc)
-        return time.perf_counter() - t0
-
+    chain = _chain_timer(run_dev, lambda out: out[0, 0])
     chain(1)  # compile + warm
-    t1 = min(chain(1) for _ in range(2))
-    t5 = min(chain(5) for _ in range(2))
-    dev_mbs = B * BLOCK / ((t5 - t1) / 4) / 1e6
+    samples = []
+    for _ in range(K_SAMPLES):
+        t1 = chain(1)
+        t5 = chain(5)
+        samples.append(B * BLOCK / ((t5 - t1) / 4) / 1e6)
+    dev_mbs, dev_spread = _median_spread(samples)
 
-    # --- end-to-end frames
+    # --- end-to-end frame + device-path ratio
     codec = TpuCodec(level=LEVEL, batch=B, block_size=BLOCK, max_seq=16384)
     codec.compress(data[: B * BLOCK])  # warm the full-batch shape
     t0 = time.perf_counter()
     frame = codec.compress(data)
     e2e_mbs = len(data) / (time.perf_counter() - t0) / 1e6
-
     ok = oracle.roundtrip_ok(frame, data) if oracle.available() else None
+
+    # --- full on-device entropy mode (device emits complete block bodies)
+    de_mbs = de_ratio = de_ok = None
+    try:
+        de_codec = TpuCodec(level=LEVEL, batch=B, block_size=BLOCK,
+                            max_seq=16384, device_entropy=True)
+        sub = data[: B * BLOCK]
+        de_frame = de_codec.compress(sub)
+        de_ratio = round(len(de_frame) / len(sub), 4)
+        de_ok = oracle.roundtrip_ok(de_frame, sub) \
+            if oracle.available() else None
+
+        def run_de():
+            return de_codec._pipeline()(blocks, lengths)
+
+        de_chain = _chain_timer(run_de, lambda out: out[0][0, 0, 0])
+        de_chain(1)
+        de_samples = []
+        for _ in range(3):
+            t1 = de_chain(1)
+            t3 = de_chain(3)
+            de_samples.append(B * BLOCK / ((t3 - t1) / 2) / 1e6)
+        de_mbs = round(_median_spread(de_samples)[0], 1)
+    except Exception as exc:  # keep the primary row alive
+        print(f"device_entropy row failed: {exc!r}", file=sys.stderr)
+
+    # --- software A/B on the same corpus/level (reference -m0 analog)
+    cpu_mbs = cpu_ratio = None
+    try:
+        cpu_codec = TpuCodec(level=LEVEL, use_device=False)
+        cpu_codec.compress(data[: 4 << 20])  # warm
+        t0 = time.perf_counter()
+        cpu_frame = cpu_codec.compress(data)
+        cpu_mbs = round(len(data) / (time.perf_counter() - t0) / 1e6, 1)
+        cpu_ratio = round(len(cpu_frame) / len(data), 4)
+    except Exception as exc:
+        print(f"cpu_native row failed: {exc!r}", file=sys.stderr)
+
+    stock_ratio = None
+    if oracle.available():
+        stock_ratio = round(len(oracle.compress(data, LEVEL)) / len(data), 4)
+
     print(json.dumps({
         "metric": f"L{LEVEL} match-pipeline throughput (1 chip, "
                   "HBM-resident)",
         "value": round(dev_mbs, 1),
         "unit": "MB/s",
         "vs_baseline": round(dev_mbs / BASELINE_MBS, 4),
+        "spread": round(dev_spread, 4),
+        "samples": [round(s, 1) for s in samples],
         "e2e_mbs": round(e2e_mbs, 1),
         "ratio": round(len(frame) / len(data), 4),
         "roundtrip_bitexact": ok,
+        "device_entropy_mbs": de_mbs,
+        "device_entropy_ratio": de_ratio,
+        "device_entropy_bitexact": de_ok,
+        "cpu_native_mbs": cpu_mbs,
+        "cpu_native_ratio": cpu_ratio,
+        "stock_ratio": stock_ratio,
         "corpus_mb": CORPUS_MB,
         "note": "e2e is bound by the tunneled dev link (~30-110 MB/s); "
                 "see BENCH_NOTES.md",
@@ -161,6 +228,9 @@ def _fallback_cpu() -> None:
     frame = codec.compress(data)
     mbs = len(data) / (_t.perf_counter() - t0) / 1e6
     ok = oracle.roundtrip_ok(frame, data) if oracle.available() else None
+    stock_ratio = None
+    if oracle.available():
+        stock_ratio = round(len(oracle.compress(data, LEVEL)) / len(data), 4)
     print(json.dumps({
         "metric": f"L{LEVEL} encode throughput (CPU fallback path; device "
                   "unavailable)",
@@ -168,6 +238,7 @@ def _fallback_cpu() -> None:
         "unit": "MB/s",
         "vs_baseline": round(mbs / BASELINE_MBS, 4),
         "ratio": round(len(frame) / len(data), 4),
+        "stock_ratio": stock_ratio,
         "roundtrip_bitexact": ok,
         "corpus_mb": CORPUS_MB,
     }))

@@ -865,33 +865,25 @@ def unpack_segments(slot_keys: np.ndarray, nblocks: int, window: int
                     ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Host-side unpack of the segment-slots contract.
 
-    slot_keys: (nblocks*nseg, w/4) u32, each row a sorted window segment:
-    claim words (local_pos << 16 | offset) first in position order, then
-    empty-slot words (>= w << 16). Returns per block (positions, offsets)
-    in block-position order (segments tile the block, so concatenating
-    per-segment prefixes preserves order).
+    slot_keys: (nblocks*nseg, w/4) u32; slot i of a row holds either that
+    4-byte slot's claim as (local_pos << 16 | offset) or a distinct
+    empty-slot word (>= w << 16). Slot index == position order, so a
+    row-major mask-select yields claims in block-position order directly
+    (segments tile the block); no device-side sort is required. Returns
+    per block (positions, offsets).
     """
     sk = np.asarray(slot_keys)
     R, ws = sk.shape
     nseg = R // nblocks
     w = ws * 4
-    counts = (sk < np.uint32(w << 16)).sum(axis=1)
-    pos_l = (sk >> 16).astype(np.int64)
-    off_l = (sk & 0x7FFF).astype(np.int64)
-    out = []
-    for b in range(nblocks):
-        parts_p, parts_o = [], []
-        for s in range(nseg):
-            r = b * nseg + s
-            c = counts[r]
-            if c:
-                parts_p.append(pos_l[r, :c] + s * w)
-                parts_o.append(off_l[r, :c])
-        if parts_p:
-            out.append((np.concatenate(parts_p), np.concatenate(parts_o)))
-        else:
-            out.append((np.empty(0, np.int64), np.empty(0, np.int64)))
-    return out
+    rows, cols = np.nonzero(sk < np.uint32(w << 16))
+    vals = sk[rows, cols]
+    pos = ((vals >> 16).astype(np.int64)
+           + (rows.astype(np.int64) % nseg) * w)
+    off = (vals & 0x7FFF).astype(np.int64)
+    counts = np.bincount(rows // nseg, minlength=nblocks)
+    splits = np.cumsum(counts)[:-1]
+    return list(zip(np.split(pos, splits), np.split(off, splits)))
 
 
 def unpack_outputs(packed: np.ndarray) -> dict:
