@@ -1397,7 +1397,7 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
                     int mml, int min_gap) {
   if (n < 8) return nseq;
   const size_t total = ctx_len + n;
-  if (min_gap < 16) min_gap = 16;
+  if (min_gap < 4) min_gap = 4;
   if (mml < 4) mml = 4;
   const int hash_log = 17;
   std::vector<int32_t> head(size_t(1) << hash_log, -1);
@@ -1531,6 +1531,19 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
   size_t cursor = 0;        // bytes already emitted (post-extension)
   size_t orig_pos = 0;      // original span walker
   uint64_t pending_lit = 0; // literals freed by dropped/trimmed sequences
+  // Recent-offset history for the repcode probe (3 deep like zstd's
+  // rep set): a junk short match at an edit site must not evict the
+  // long-distance offset the next claim needs to resume with.
+  uint32_t rep[3] = {0, 0, 0};
+  auto lcp_at = [&](size_t p, uint32_t o) -> size_t {
+    size_t lim = n - p;
+    size_t l = 0;
+    const uint8_t* a = block + p;
+    const uint8_t* b = a - o;
+    while (l + 8 <= lim && qz::rd64(a + l) == qz::rd64(b + l)) l += 8;
+    while (l < lim && a[l] == b[l]) ++l;
+    return l;
+  };
   for (size_t i = 0; i < nseq; ++i) {
     size_t lit_start = orig_pos;
     size_t match_start = lit_start + lit_lens[i];
@@ -1548,8 +1561,10 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
       new_start = cursor;  // front-trimmed match
     }
     size_t new_ml = match_end - new_start;
-    if (new_ml < 3 || off == 0 || off > ctx_len + new_start) {
-      // Too short after trimming, or structurally invalid: literals.
+    // Runt tiles (front-trimmed to 1-2 bytes) are dropped untested:
+    // probing them was measured net-negative under dense claims (tiny
+    // runt matches split coverage into extra sequences).
+    if (new_ml < 3) {
       pending_lit += new_lit + new_ml;
       cursor = match_end;
       continue;
@@ -1560,13 +1575,26 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     // compressAndVerify posture, src/qatseqprod.c:1245): a false claim
     // shrinks below MIN_MATCH here and degrades to literals; a capped
     // claim extends to its true length. Either way every emitted
-    // sequence is byte-exact.
-    size_t lim = n - new_start;
+    // sequence is byte-exact. A structurally invalid offset (0 or
+    // beyond the window context, e.g. an LDM claim at a batch seam)
+    // contributes no match but may still be rescued by the rep probe.
     size_t l = 0;
-    const uint8_t* a = block + new_start;
-    const uint8_t* b = a - off;  // may reach into the window context
-    while (l + 8 <= lim && qz::rd64(a + l) == qz::rd64(b + l)) l += 8;
-    while (l < lim && a[l] == b[l]) ++l;
+    if (off != 0 && off <= ctx_len + new_start) l = lcp_at(new_start, off);
+    // Repcode probe: also try the recently emitted offsets (stock
+    // zstd's matchers check reps at every position — this is where the
+    // device path recovers that, e.g. resuming a long-distance match
+    // right after a small edit broke it). Preferred on ties: rep
+    // offsets are the cheapest codes the entropy coder has.
+    for (int r = 0; r < 3; ++r) {
+      uint32_t ro = rep[r];
+      if (ro && ro != off && ro <= ctx_len + new_start) {
+        size_t lr = lcp_at(new_start, ro);
+        if (lr >= l && lr >= 3) {
+          off = ro;
+          l = lr;
+        }
+      }
+    }
     if (l < 3) {  // false claim: the whole span becomes literals
       pending_lit += new_lit + new_ml;
       cursor = match_end;
@@ -1588,6 +1616,11 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     offsets[out] = off;
     match_lens[out] = static_cast<uint32_t>(new_ml);
     pending_lit = 0;
+    if (off != rep[0]) {
+      rep[2] = rep[1];
+      rep[1] = rep[0];
+      rep[0] = off;
+    }
     ++out;
     cursor = new_start + new_ml;
   }

@@ -591,19 +591,21 @@ def _merge_tail_fused(sA, sB, chosen, lengths, max_seq: int, window: int):
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))
 def compact_slots(chosen: jnp.ndarray, moff: jnp.ndarray, window: int,
                   interpret: bool | None = None):
-    """(B, N) parse outputs -> ((B*nseg, w/4) u32 slot sort keys,
-    (B*nseg, 1) i32 per-segment claim counts).
+    """(B, N) parse outputs -> (B*nseg, w/4) u32 slot words.
 
-    Slot key: real claim  -> (local_pos << 16) | offset   (local_pos < w)
-              empty slot  -> ((w + slot*4) << 16) | slot
-    Sorting ascending puts claims first in position order; empty-slot keys
-    stay distinct (healthy sort distribution). Offsets must be < w <= 32K
-    (15 bits); offset 0 is reserved for table-carried long-range claims.
+    Slot word: real claim -> (k << 30) | byte_offset   (pos = 4*slot + k)
+               empty slot -> 0xFFFFFFFF
+    The slot index IS the position (the parse spaces claims >= MIN_MATCH
+    = 4 apart, so each aligned 4-byte slot holds at most one claim); only
+    the 2-bit subslot k and the offset ride in the word, leaving 30 bits
+    of RAW byte offset — enough for segment windows up to 64K+ and
+    unquantized long-distance offsets (merge_ldm) alike. No device-side
+    sort: the host mask-selects non-sentinel words row-major
+    (unpack_segments).
 
     The 4:1 slot reduction takes four host-side strided views of each
     input (Mosaic cannot split the lane dim in-kernel); XLA slices feeding
-    a Pallas kernel are safe — the downstream sort consumes the kernel's
-    output, so its fast path is preserved.
+    a Pallas kernel are safe — they are not fused into sort programs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -611,23 +613,20 @@ def compact_slots(chosen: jnp.ndarray, moff: jnp.ndarray, window: int,
     w = min(window, N)
     nseg = N // w
     rows = _rows(B)
-    assert w <= 32768
     Ns = N // 4  # slots per block
     ws = w // 4  # slots per segment
 
     def kernel(*refs):
         ch = [refs[k][...] for k in range(4)]
         of = [refs[4 + k][...] for k in range(4)]
-        sl = jax.lax.broadcasted_iota(jnp.int32, (rows, Ns), 1) \
-            & jnp.int32(ws - 1)  # slot index within segment
-        # Claim key per subslot k (position = 4*slot + k), sign-flipped
-        # for i32 min (Mosaic lacks unsigned reductions).
-        empty = (((sl * 4 + jnp.int32(w)) << 16) | sl) \
-            ^ jnp.int32(-0x80000000)
+        # Sign-flipped i32 min (Mosaic lacks unsigned reductions):
+        # sentinel 0xFFFFFFFF flips to INT32_MAX, claims keep subslot
+        # priority order (only one claim per slot exists anyway).
+        empty = jnp.int32(0x7FFFFFFF)
         best = empty
         for k in range(4):
             chk = ch[k] != 0
-            keyk = ((((sl * 4) + k) << 16) | of[k]) \
+            keyk = ((jnp.int32(k) << 30) | of[k]) \
                 ^ jnp.int32(-0x80000000)
             best = jnp.minimum(best, jnp.where(chk, keyk, empty))
         best = (best ^ jnp.int32(-0x80000000)).astype(jnp.uint32)
@@ -649,17 +648,201 @@ def compact_slots(chosen: jnp.ndarray, moff: jnp.ndarray, window: int,
     )(*[c.astype(jnp.int32) for c in ch4], *of4)
 
 
+# ---------------------------------------------------------------------------
+# Long-distance matching (LDM): the device window above is segment-local
+# (32K), so the hash matcher is structurally blind to redundancy at longer
+# range — cross-segment inside a block and cross-block inside a batch.
+# Stock zstd sees both through its streaming window; this is the device
+# answer (the role zstd's own --long/LDM mode plays, generalized to the
+# batch buffer).
+#
+# Design: blocks are CONSECUTIVE stream bytes within a batch (tpu_codec
+# feeds sorted full-block runs). Rows of `sb` adjacent blocks (sb=4 -> a
+# 512 KiB "span") are each paired with the PREVIOUS span as sliding
+# context, so every position effectively sees up to 512 KiB back — the
+# same back-reach stock zstd's L1 window (window_log 19) gives its
+# streaming matcher. Sample 8-byte grams every 32 bytes over [prev span |
+# span] and reuse the exact single-word-sort machinery of the short-range
+# path on the combined rows: key = (hash17 << 15 | sample_idx), sort,
+# nearest-previous-equal-hash, un-sort. A candidate is accepted only when
+# >= 2 CONSECUTIVE samples agree on the same sample offset (a 64-byte
+# chained check that makes hash-collision false positives ~2^-34), then
+# competes in the parse against the local candidates with its chained
+# length estimate. Offsets ride the slot contract's free bit 15 as
+# (0x8000 | byte_off >> 4) — sampled positions are 32-aligned so the
+# quantized offset is EXACT, up to 512 KiB (always inside the frame
+# window: window_log >= 19 at every level). The host extension pass
+# byte-verifies and extends each claim against the cross-block window
+# context it already receives, so LDM adds zero new trust surface; a
+# first-span claim that reaches bytes the device never saw (the zero
+# context pad) simply fails verification and degrades to literals.
+# ---------------------------------------------------------------------------
+
+def ldm_stride(span_blocks: int, n: int) -> int:
+    """Sample spacing that keeps the combined row at <= 65536 samples so
+    the packed keys keep >= 16 hash bits (the two-consecutive-sample
+    chain requirement keeps false candidates rare even at 16 bits)."""
+    s = 32
+    while 2 * span_blocks * (n // s) > 65536:
+        s *= 2
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("span_blocks", "interpret"))
+def ldm_keys(blocks: jnp.ndarray, span_blocks: int = 4,
+             interpret: bool | None = None) -> jnp.ndarray:
+    """(B, N) uint8 -> (B/span_blocks, 2*span_samples) uint32 packed
+    (hash << pbits | combined sample index) LDM sort keys. Each output
+    row is [previous span's samples | this span's samples] — the sliding
+    context window. The 8 gram bytes arrive as host-strided views and
+    the context half as 4-row-shifted views (XLA slices/concats feeding
+    a Pallas kernel are safe; lane-dim subsampling inside one is not
+    expressible)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    sb = span_blocks
+    stride = ldm_stride(sb, N)
+    assert B % sb == 0 and N % stride == 0, (B, sb, N)
+    spb = N // stride                # samples per block
+    half = sb * spb                  # samples per span (= half a row)
+    sps = 2 * half
+    pbits = (sps - 1).bit_length()
+    hbits = 32 - pbits
+    rows = 8 * sb if B % (8 * sb) == 0 else B
+    orows = rows // sb
+
+    def kernel(*refs):
+        C1 = jnp.uint32(2654435761)
+        C2 = jnp.uint32(2246822519)
+        C3 = jnp.uint32(3266489917)
+
+        def hash8(vs):
+            w0 = (vs[0] << 24) | (vs[1] << 16) | (vs[2] << 8) | vs[3]
+            w1 = (vs[4] << 24) | (vs[5] << 16) | (vs[6] << 8) | vs[7]
+            h = ((w0 * C1) ^ ((w1 * C2) * C3)) >> (32 - hbits)
+            return h.reshape(orows, sb * spb)
+
+        hd = hash8([refs[k][...].astype(jnp.uint32) for k in range(8)])
+        hc = hash8([refs[8 + k][...].astype(jnp.uint32)
+                    for k in range(8)])
+        cat = jnp.concatenate([hc, hd], axis=1)  # [context | span]
+        pos = jax.lax.broadcasted_iota(jnp.uint32, (orows, sps), 1)
+        refs[16][...] = (cat << pbits) | pos
+
+    spec = pl.BlockSpec((rows, spb), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    views = [blocks[:, k::stride] for k in range(8)]
+    zero4 = jnp.zeros((sb, spb), blocks.dtype)
+    ctx_views = [jnp.concatenate([zero4, v[:-sb]], axis=0) for v in views]
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec] * 16,
+        out_specs=pl.BlockSpec((orows, sps), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B // sb, sps), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(*views, *ctx_views)
+
+
+def ldm_unsorted(blocks: jnp.ndarray, span_blocks: int = 4,
+                 neighbors: int = 1, interpret: bool | None = None
+                 ) -> jnp.ndarray:
+    """LDM candidate chain: keys -> sort -> neighbor/un-sort keys ->
+    sort. Returns (B/span_blocks, sps) u32, entry j = (j << hbits |
+    sample offset) — position-ordered like the short-range su arrays."""
+    key = ldm_keys(blocks, span_blocks, interpret=interpret)
+    pbits = (key.shape[1] - 1).bit_length()
+    return _sort_rows(neighbor_unsort_keys(_sort_rows(key), pbits,
+                                           neighbors,
+                                           interpret=interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("span_blocks", "local_cap",
+                                             "max_off"))
+def merge_ldm(mlen: jnp.ndarray, moff: jnp.ndarray, su: jnp.ndarray,
+              lengths: jnp.ndarray, span_blocks: int, local_cap: int,
+              max_off: int = 1 << 19):
+    """Fold LDM candidates into the local (mlen, moff) candidate arrays.
+
+    su: (B/span_blocks, sps) position-ordered LDM keys; the second half
+    of each row holds this span's samples (the first half is sliding
+    context — candidates only). A sample's candidate survives when >= 2
+    consecutive samples chain on the same offset (collision kill + 64 B
+    length evidence); its estimate is the chained span (32 bytes per
+    unit, up to 2 KiB) and it takes the position only where the local
+    estimate is shorter AND unsaturated (a saturated local estimate
+    means a long nearby match — preferring it keeps offsets small for
+    the entropy coder). Offsets are raw byte offsets (exact — the slot
+    contract carries 30 offset bits)."""
+    B, N = mlen.shape
+    sb = span_blocks
+    stride = ldm_stride(sb, N)
+    nspans, sps = su.shape
+    half = sps // 2
+    spb = half // sb
+    pbits = (sps - 1).bit_length()
+    dest = jax.lax.slice(su, (0, half), (nspans, sps))
+    offs = (dest & jnp.uint32((1 << (32 - pbits)) - 1)).astype(jnp.int32)
+
+    def shl(a, s, fill):
+        return jnp.concatenate(
+            [a[:, s:], jnp.full((nspans, s), fill, a.dtype)], axis=1)
+
+    # Chained reach over consecutive samples with equal offset (doubling;
+    # matches finalize_candidates' estimator on the sample grid).
+    reach = (offs > 0).astype(jnp.int32)
+    unit = 1
+    for _ in range(6):                     # reach caps at 64 units = 2K
+        cont = (offs > 0) & (reach == unit) & (shl(offs, unit, 0) == offs)
+        reach = jnp.where(cont, reach + shl(reach, unit, 0), reach)
+        unit *= 2
+    est = reach * stride
+    # >= 64 B chain evidence; byte offset in [64, max_off] — max_off is
+    # the level's frame window (window_log >= 19), so every emitted
+    # offset is format-legal; the span geometry bounds reach at
+    # 2 * span_blocks * block_size.
+    valid = (reach >= 2) & (offs >= 2) \
+        & (offs * stride <= max_off)
+
+    est_b = jnp.where(valid, est, 0).reshape(B, spb)
+    off_b = (offs * stride).reshape(B, spb)
+    posb = jnp.arange(spb, dtype=jnp.int32)[None, :] * stride
+    est_b = jnp.where(posb + 40 <= lengths.astype(jnp.int32)[:, None],
+                      est_b, 0)
+
+    def up(x):  # sample grid -> position grid (zeros off-grid)
+        z = jnp.zeros((B, spb, stride - 1), x.dtype)
+        return jnp.concatenate([x[:, :, None], z], axis=2).reshape(B, N)
+
+    up_est = up(est_b)
+    # Local candidates keep their position when their estimate is
+    # saturated (est == local_cap means "at least this long" — usually a
+    # long nearby match whose small offset is cheaper), UNLESS the LDM
+    # chain shows >= 128 B of evidence: a long-distance match that long
+    # beats any short local match regardless of offset cost (RLE runs
+    # stay protected by the up_est > mlen test — their exact len1
+    # estimate exceeds any LDM chain when genuinely longer).
+    take = (up_est > mlen) & ((mlen < local_cap) | (up_est >= 128))
+    return (jnp.where(take, up_est, mlen),
+            jnp.where(take, up(off_b), moff))
+
+
 def find_matches_positions(blocks, lengths, widths=(6,),
                            neighbors: int = 1, window: int = 32768,
                            max_seq: int = 16384, parser: str = "pallas",
                            lazy: bool = False, psegs: int = 1,
+                           ldm: int = 0, ldm_max_off: int = 1 << 19,
+                           dense: bool = False,
                            interpret: bool | None = None):
     """Hash-matcher pipeline with the segment-slots device->host contract.
 
-    Returns the slot-key array (B*nseg, w/4) u32: each row is one window
+    Returns the slot-word array (B*nseg, w/4) u32: each row is one window
     segment; slot i holds either that 4-byte slot's chosen claim as
-    (local_pos << 16 | offset) (local_pos < w) or a distinct empty-slot
-    word (>= w << 16). Slot index == position order, so NO device-side
+    (subslot_k << 30 | byte_offset) — position = 4*i + k — or the empty
+    sentinel 0xFFFFFFFF. Slot index == position order, so NO device-side
     sort or merge is needed at all: the host mask-selects claims row-major
     (unpack_segments) and per-segment runs concatenate in block order
     because segments tile the block. Dropping the final compaction sort
@@ -671,20 +854,44 @@ def find_matches_positions(blocks, lengths, widths=(6,),
     the native extension pass derives exact lengths (see compact_slots).
     This is the production fast-level path; max_seq is unused (kept for
     signature compatibility with the packed-contract pipelines).
+
+    ldm > 0 enables long-distance matching with ldm-block spans (see
+    merge_ldm).
+
+    dense=True skips the device parse entirely: EVERY candidate slot is
+    claimed (the slot array's size is fixed, so claim density is free on
+    the return path) and the host extension walk — which sees true bytes
+    — becomes the parse. Measured ~4% better ratio than the est-greedy
+    device parse (the estimate-driven parse takes false claims that mask
+    real candidates in the following few bytes) and removes the one
+    grid-sequential kernel from the pipeline.
     """
-    from .match_pipeline import _parse
+    from .match_pipeline import MIN_MATCH, _parse
 
     mlen, moff = candidates_hash_split(blocks, lengths, widths=widths,
                                        neighbors=neighbors, window=window,
                                        interpret=interpret)
-    if parser == "pallas" or psegs > 1:
+    if ldm:
+        su_l = ldm_unsorted(blocks, ldm, neighbors=1, interpret=interpret)
+        mlen, moff = merge_ldm(mlen, moff, su_l, lengths, ldm,
+                               local_cap=4 * max(widths),
+                               max_off=ldm_max_off)
+    if dense:
+        chosen = _dense_chosen(mlen)
+    elif parser == "pallas" or psegs > 1:
         # psegs relies on the kernel's segment-end truncation to keep the
         # >= MIN_MATCH claim spacing invariant, so it always routes through
         # the Pallas parse (interpret mode off-TPU).
         from . import parse_kernel
         chosen = parse_kernel.parse_greedy_pallas(
             mlen, lazy=lazy, psegs=psegs, interpret=interpret)
+        chosen = chosen.astype(jnp.int32)
     else:
-        chosen = _parse(mlen, parser, lazy)
-    chosen = chosen.astype(jnp.int32)
+        chosen = _parse(mlen, parser, lazy).astype(jnp.int32)
     return compact_slots(chosen, moff, window, interpret=interpret)
+
+
+@jax.jit
+def _dense_chosen(mlen):
+    from .match_pipeline import MIN_MATCH
+    return (mlen >= MIN_MATCH).astype(jnp.int32)

@@ -847,18 +847,24 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
 def find_matches_positions(blocks, lengths, widths=(6,), neighbors: int = 1,
                            window: int = 32768, max_seq: int = 16384,
                            parser: str | None = None, lazy: bool = False,
-                           psegs: int = 1):
+                           psegs: int = 1, ldm: int = 0,
+                           ldm_max_off: int = 1 << 19,
+                           dense: bool = False):
     """Hash-matcher pipeline, segment-slots device->host contract (see
     glue_kernels.find_matches_positions). Works on every backend (Pallas
-    interpret mode off-TPU); the production fast-level path."""
+    interpret mode off-TPU); the production fast-level path. ldm > 0
+    adds long-distance candidates over ldm-block spans; dense=True claims
+    every candidate slot and lets the host extension walk parse."""
     import jax
     from . import glue_kernels
     if parser is None:
         parser = "pallas" if jax.default_backend() == "tpu" else "scan"
+    if ldm and blocks.shape[0] % ldm:
+        ldm = 0  # spans need whole block groups; partial batches skip LDM
     return glue_kernels.find_matches_positions(
         blocks, lengths, widths=tuple(widths), neighbors=neighbors,
         window=window, max_seq=max_seq, parser=parser, lazy=lazy,
-        psegs=psegs)
+        psegs=psegs, ldm=ldm, ldm_max_off=ldm_max_off, dense=dense)
 
 
 def unpack_segments(slot_keys: np.ndarray, nblocks: int, window: int
@@ -866,21 +872,23 @@ def unpack_segments(slot_keys: np.ndarray, nblocks: int, window: int
     """Host-side unpack of the segment-slots contract.
 
     slot_keys: (nblocks*nseg, w/4) u32; slot i of a row holds either that
-    4-byte slot's claim as (local_pos << 16 | offset) or a distinct
-    empty-slot word (>= w << 16). Slot index == position order, so a
-    row-major mask-select yields claims in block-position order directly
-    (segments tile the block); no device-side sort is required. Returns
-    per block (positions, offsets).
+    4-byte slot's claim as (subslot_k << 30 | byte_offset) — the claim
+    position is 4*i + k — or the empty sentinel 0xFFFFFFFF. Slot index ==
+    position order, so a row-major mask-select yields claims in
+    block-position order directly (segments tile the block); no
+    device-side sort is required. Offsets are raw bytes (local OR
+    long-distance, up to 30 bits). Returns per block (positions,
+    offsets).
     """
     sk = np.asarray(slot_keys)
     R, ws = sk.shape
     nseg = R // nblocks
     w = ws * 4
-    rows, cols = np.nonzero(sk < np.uint32(w << 16))
+    rows, cols = np.nonzero(sk != np.uint32(0xFFFFFFFF))
     vals = sk[rows, cols]
-    pos = ((vals >> 16).astype(np.int64)
+    pos = (cols.astype(np.int64) * 4 + (vals >> 30)
            + (rows.astype(np.int64) % nseg) * w)
-    off = (vals & 0x7FFF).astype(np.int64)
+    off = (vals & 0x3FFFFFFF).astype(np.int64)
     counts = np.bincount(rows // nseg, minlength=nblocks)
     splits = np.cumsum(counts)[:-1]
     return list(zip(np.split(pos, splits), np.split(off, splits)))

@@ -56,6 +56,15 @@ class TpuLevelParams:
     # fewer sequential steps; claims stay host-verified so segment-end
     # truncation is ratio-free).
     psegs: int = 1
+    # Long-distance matching: span size in blocks (0 = off). Samples
+    # 8-byte grams over sliding ldm-block spans so candidates at up to
+    # 512 KiB compete in the parse — the device-side answer to stock
+    # zstd's streaming window (glue_kernels.merge_ldm).
+    ldm: int = 0
+    # Dense claims: skip the device parse, claim every candidate slot,
+    # and let the host extension walk (true bytes) parse. Better ratio
+    # than the est-greedy device parse and one fewer pipeline stage.
+    dense: bool = False
 
 
 # Fast levels ride the hash matcher (XLA's single-operand sort fast path,
@@ -63,13 +72,13 @@ class TpuLevelParams:
 # progressively wider windows.
 TPU_LEVEL_TABLE = {
     1: TpuLevelParams(1, window=32768, matcher="hash", widths=(6,),
-                      psegs=4),
+                      ldm=4, dense=True),
     2: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8),
-                      psegs=4),
+                      ldm=8, dense=True),
     3: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8),
-                      psegs=4),
+                      ldm=16, dense=True),
     4: TpuLevelParams(2, window=32768, matcher="hash",
-                      widths=(4, 5, 6, 8), psegs=4),
+                      widths=(4, 5, 6, 8), ldm=16, dense=True),
     5: TpuLevelParams(4, lazy=True, window=32768),
     6: TpuLevelParams(6, lazy=True, window=32768),
     7: TpuLevelParams(6, lazy=True),
@@ -203,13 +212,18 @@ class TpuCodec:
                 # Positions contract: device sends (pos, off) claims only;
                 # the host extension derives exact lengths (the lean
                 # return-path protocol, see glue_kernels.compact_slots).
+                wlog = golden_codec.level_params(self.level).window_log
+                ldm_max_off = 1 << wlog
+
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_positions(
                         blocks, lengths, widths=self.params.widths,
                         neighbors=self.params.neighbors,
                         window=self.params.window, max_seq=self.max_seq,
                         parser=parser, lazy=self.params.lazy,
-                        psegs=self.params.psegs)
+                        psegs=self.params.psegs, ldm=self.params.ldm,
+                        ldm_max_off=ldm_max_off,
+                        dense=self.params.dense)
             else:
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_packed(
@@ -387,16 +401,23 @@ class TpuCodec:
                               fallback=seqs is None and i in full_ids)
             return body
 
-        # Cross-block window context: offsets may reach back into earlier
-        # blocks' raw bytes, capped so ctx + block <= the frame window.
-        max_ctx = max(0, (1 << gp.window_log) - bs)
+        # Cross-block window context. Two caps: matchers that DISCOVER
+        # offsets (fill_gaps/find_sequences can emit off up to ctx + pos)
+        # get ctx <= window - block so every find stays inside the frame
+        # window; the extension pass only VERIFIES offsets the device
+        # already produced (local < 32K, LDM <= window by construction),
+        # so it may see the full window of context — required for LDM
+        # claims in the (window - block, window] offset range.
+        win = 1 << gp.window_log
+        max_ctx = max(0, win - bs)
 
         def _finish_block(i: int, seqs: BlockSequences | None,
                           dev_section: bytes | None = None) -> bytes | None:
             blk = buf[i * bs:min((i + 1) * bs, n)]
             if len(blk) < 64:
                 return None
-            ctx = min(i * bs, max_ctx)
+            ctx = min(i * bs, win)
+            ctx_find = min(i * bs, max_ctx)
             cblk = buf[i * bs - ctx:min((i + 1) * bs, n)]
             if dev_section is not None:
                 lit_sec, seq_sec = dev_section
@@ -432,17 +453,19 @@ class TpuCodec:
                 # re-matches the long literal runs it left behind against
                 # the full block AND the cross-block window context
                 # (stock zstd's streaming-matcher advantage, recovered
-                # host-side at gap-bytes-only cost).
+                # host-side at gap-bytes-only cost). It discovers offsets
+                # (up to ctx + pos), so it gets the find-safe context.
                 ll, of, ml, lastlit = native.fill_gaps(
-                    cblk, ll, of, ml, lastlit, ctx_len=ctx,
+                    cblk[ctx - ctx_find:], ll, of, ml, lastlit,
+                    ctx_len=ctx_find,
                     chain_depth=gp.chain_depth, mml=gp.mml)
                 seqs = BlockSequences(ll, of, ml, lastlit)
             if seqs is None:
                 if use_native:
                     try:
                         ll, of, ml, lastlit = native.find_sequences(
-                            cblk, gp.chain_depth, gp.lazy, ctx_len=ctx,
-                            mml=gp.mml)
+                            cblk[ctx - ctx_find:], gp.chain_depth,
+                            gp.lazy, ctx_len=ctx_find, mml=gp.mml)
                         seqs = BlockSequences(ll, of, ml, lastlit)
                     except OverflowError:
                         return None
