@@ -131,7 +131,8 @@ def main() -> None:
             blocks, lengths, widths=params.widths,
             neighbors=params.neighbors, window=params.window,
             max_seq=16384, parser=parser, lazy=params.lazy,
-            psegs=params.psegs)
+            psegs=params.psegs, ldm=params.ldm, ldm_max_off=1 << 19,
+            dense=params.dense)
 
     chain = _chain_timer(run_dev, lambda out: out[0, 0])
     chain(1)  # compile + warm

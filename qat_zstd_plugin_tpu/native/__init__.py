@@ -69,7 +69,8 @@ def _load():
     lib.qz_extend_sequences.restype = ctypes.c_size_t
     lib.qz_extend_sequences.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_size_t]
     lib.qz_fill_gaps.restype = ctypes.c_size_t
     lib.qz_fill_gaps.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
@@ -203,10 +204,12 @@ def block_body_external_seqsec(block: np.ndarray, lit_lens: np.ndarray,
 
 def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
                      ml: np.ndarray, last_literals: int,
-                     ctx_len: int = 0):
+                     ctx_len: int = 0, max_off: int = 0):
     """Re-extend capped matches with real byte compares (see
     qz_extend_sequences). `block` may carry ctx_len bytes of window
     context at the front; the sequences cover only the trailing block.
+    max_off caps offsets the SLIDE probe may synthesize (the frame
+    window; 0 = unlimited — claim/rep offsets are already caller-legal).
     Returns (lit, off, ml, last_literals)."""
     lib = _load()
     assert lib is not None
@@ -218,7 +221,8 @@ def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
     # The C pass only shrinks/merges; arrays are modified in place.
     new_n = lib.qz_extend_sequences(
         block.ctypes.data, ctx_len, len(block) - ctx_len, ll.ctypes.data,
-        of.ctypes.data, mm.ctypes.data, len(ll), ctypes.byref(lastlit))
+        of.ctypes.data, mm.ctypes.data, len(ll), ctypes.byref(lastlit),
+        max_off)
     return (ll[:new_n].astype(np.int64), of[:new_n].astype(np.int64),
             mm[:new_n].astype(np.int64), int(lastlit.value))
 

@@ -1525,7 +1525,8 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
 size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
                            uint32_t* lit_lens, uint32_t* offsets,
                            uint32_t* match_lens, size_t nseq,
-                           uint32_t* last_literals) {
+                           uint32_t* last_literals, size_t max_off) {
+  if (max_off == 0) max_off = ~size_t(0);
   const uint8_t* block = base + ctx_len;
   size_t out = 0;
   size_t cursor = 0;        // bytes already emitted (post-extension)
@@ -1592,6 +1593,32 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
         if (lr >= l && lr >= 3) {
           off = ro;
           l = lr;
+        }
+      }
+    }
+    // Slide probe for long-distance claims: LDM offsets are minimizer
+    // slot-quantized (exact to +-1 slot = +-the sample stride), so when
+    // the quantized offset does not verify, scan the +-63 byte
+    // neighborhood outward for the true distance. Gated on a weak
+    // direct/rep result and a long-range offset so the probe never
+    // runs on the (exact) local claims.
+    if (l < 16 && offsets[i] > 65536) {
+      uint32_t o0 = offsets[i];
+      for (uint32_t d = 1; d <= 63; ++d) {
+        uint32_t cand[2] = {o0 - d, o0 + d};
+        for (uint32_t oc : cand) {
+          if (oc == 0 || oc > ctx_len + new_start || oc > max_off)
+            continue;
+          const uint8_t* a = block + new_start;
+          if (new_start + 8 <= n && qz::rd64(a) != qz::rd64(a - oc))
+            continue;
+          size_t ls = lcp_at(new_start, oc);
+          if (ls >= 16 && ls > l) {
+            off = oc;
+            l = ls;
+            d = 64;  // break outer
+            break;
+          }
         }
       }
     }

@@ -167,8 +167,6 @@ def neighbor_unsort_keys(sk: jnp.ndarray, pbits: int, neighbors: int = 1,
     )(sk)
 
 
-@functools.partial(jax.jit, static_argnames=("widths", "window",
-                                             "chain_steps", "interpret"))
 def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
                         lengths: jnp.ndarray, widths: tuple, window: int,
                         chain_steps: int = 2,
@@ -177,8 +175,29 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
 
     Chain-doubled true-length estimation, cross-width merge (longer est
     first, then nearer), offset-1 run scan (exact, 14-step doubling),
-    and the cost filter — candidates_hash semantics in one VMEM pass.
+    and the cost filter — candidates_hash semantics in VMEM passes.
+    Processes at most 2 widths per Pallas kernel (4 widths measured an
+    ~80 MB register spill past the 128 MB v5e VMEM) and carries the
+    running (mlen, moff) merge between passes; filter + run scan happen
+    on the final pass only, so chunking is semantics-free.
     """
+    carry = None
+    for i in range(0, len(widths), 2):
+        last = i + 2 >= len(widths)
+        carry = _finalize_chunk(tuple(sus[i:i + 2]), blocks, lengths,
+                                tuple(widths[i:i + 2]), window,
+                                chain_steps, carry, last,
+                                interpret=interpret)
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=("widths", "window",
+                                             "chain_steps", "final",
+                                             "interpret"))
+def _finalize_chunk(sus: tuple, blocks: jnp.ndarray,
+                    lengths: jnp.ndarray, widths: tuple, window: int,
+                    chain_steps: int, carry, final: bool,
+                    interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, N = blocks.shape
@@ -189,15 +208,22 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
 
     nseg = N // w
 
+    ncarry = 2 if carry is not None else 0
+
     def kernel(*refs):
         su_refs = refs[:len(widths)]
         x_ref = refs[len(widths)]
         len_ref = refs[len(widths) + 1]
-        mlen_ref, moff_ref = refs[len(widths) + 2:]
+        carry_refs = refs[len(widths) + 2:len(widths) + 2 + ncarry]
+        mlen_ref, moff_ref = refs[len(widths) + 2 + ncarry:]
         blen = len_ref[...][:, :1]  # (rows, 1)
 
-        mlen = jnp.zeros((rows, N), jnp.int32)
-        moff = jnp.zeros((rows, N), jnp.int32)
+        if ncarry:
+            mlen = carry_refs[0][...]
+            moff = carry_refs[1][...]
+        else:
+            mlen = jnp.zeros((rows, N), jnp.int32)
+            moff = jnp.zeros((rows, N), jnp.int32)
         gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
         for su_ref, width in zip(su_refs, widths):
             offs = (su_ref[...] & omask).astype(jnp.int32) \
@@ -219,6 +245,11 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
             take = (offs > 0) & better
             mlen = jnp.where(take, est, mlen)
             moff = jnp.where(take, offs, moff)
+
+        if not final:
+            mlen_ref[...] = mlen
+            moff_ref[...] = moff
+            return
 
         worth = ((mlen >= 7)
                  | ((mlen >= 6) & (moff <= 32768))
@@ -256,15 +287,18 @@ def finalize_candidates(sus: tuple, blocks: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    carry_ops = list(carry) if carry is not None else []
     return pl.pallas_call(
         kernel,
         grid=(B // rows,),
-        in_specs=[seg_spec] * len(widths) + [spec, len_spec],
+        in_specs=[seg_spec] * len(widths) + [spec, len_spec]
+        + [spec] * ncarry,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((B, N), jnp.int32)] * 2,
         compiler_params=_CP,
         interpret=interpret,
-    )(*sus, blocks, lengths.reshape(B, 1).astype(jnp.int32))
+    )(*sus, blocks, lengths.reshape(B, 1).astype(jnp.int32),
+      *carry_ops)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "max_seq",
@@ -688,21 +722,64 @@ def ldm_stride(span_blocks: int, n: int) -> int:
     return s
 
 
-@functools.partial(jax.jit, static_argnames=("span_blocks", "interpret"))
-def ldm_keys(blocks: jnp.ndarray, span_blocks: int = 4,
-             interpret: bool | None = None) -> jnp.ndarray:
-    """(B, N) uint8 -> (B/span_blocks, 2*span_samples) uint32 packed
-    (hash << pbits | combined sample index) LDM sort keys. Each output
-    row is [previous span's samples | this span's samples] — the sliding
-    context window. The 8 gram bytes arrive as host-strided views and
-    the context half as 4-row-shifted views (XLA slices/concats feeding
-    a Pallas kernel are safe; lane-dim subsampling inside one is not
-    expressible)."""
+@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
+def ldm_winmin(blocks: jnp.ndarray, stride: int,
+               interpret: bool | None = None) -> jnp.ndarray:
+    """(B, N) uint8 -> (B, N) uint32: windowed MINIMIZER hash — entry i
+    holds min over [i, i+stride) of the 8-byte-gram hash.
+
+    Grid sampling alone only discovers repeats whose distance is a
+    multiple of the stride (the grams at two grid points of a shifted
+    copy differ). Minimizers are the standard alignment-robust sampler
+    (winnowing): matching content picks the same minimum regardless of
+    where the grid falls, so two copies at ANY distance produce equal
+    sampled hashes. The slot-quantized offset is then exact to +-1 slot,
+    which the host extension's slide probe resolves."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, N = blocks.shape
+    rows = _rows(B)
+    assert stride & (stride - 1) == 0
+
+    def kernel(x_ref, out_ref):
+        x = x_ref[...].astype(jnp.uint32)
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        h = _hash_tile(x, 8, N, 32, gp)
+        m = h
+        s = 1
+        while s < stride:
+            m = jnp.minimum(m, _shl(m, s, jnp.uint32(0xFFFFFFFF), gp))
+            s *= 2
+        out_ref[...] = m
+
+    spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("span_blocks", "stride",
+                                             "interpret"))
+def ldm_keys(minz: jnp.ndarray, span_blocks: int = 4, stride: int = 32,
+             interpret: bool | None = None) -> jnp.ndarray:
+    """(B, N) minimizer hashes -> (B/span_blocks, 2*span_samples) uint32
+    packed (hash << pbits | combined sample index) LDM sort keys. Each
+    output row is [previous span's samples | this span's samples] — the
+    sliding context window. Samples arrive as host-strided views and the
+    context half as span-row-shifted views (XLA slices/concats feeding a
+    Pallas kernel are safe; lane-dim subsampling inside one is not
+    expressible)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = minz.shape
     sb = span_blocks
-    stride = ldm_stride(sb, N)
     assert B % sb == 0 and N % stride == 0, (B, sb, N)
     spb = N // stride                # samples per block
     half = sb * spb                  # samples per span (= half a row)
@@ -712,48 +789,45 @@ def ldm_keys(blocks: jnp.ndarray, span_blocks: int = 4,
     rows = 8 * sb if B % (8 * sb) == 0 else B
     orows = rows // sb
 
-    def kernel(*refs):
+    def kernel(d_ref, c_ref, out_ref):
+        # Remix before truncating: a windowed MIN of k hashes is biased
+        # small (~log2(k) top bits near zero), so taking its top bits
+        # directly would waste hash entropy; an odd-constant multiply
+        # re-uniformizes while preserving equality.
         C1 = jnp.uint32(2654435761)
-        C2 = jnp.uint32(2246822519)
-        C3 = jnp.uint32(3266489917)
-
-        def hash8(vs):
-            w0 = (vs[0] << 24) | (vs[1] << 16) | (vs[2] << 8) | vs[3]
-            w1 = (vs[4] << 24) | (vs[5] << 16) | (vs[6] << 8) | vs[7]
-            h = ((w0 * C1) ^ ((w1 * C2) * C3)) >> (32 - hbits)
-            return h.reshape(orows, sb * spb)
-
-        hd = hash8([refs[k][...].astype(jnp.uint32) for k in range(8)])
-        hc = hash8([refs[8 + k][...].astype(jnp.uint32)
-                    for k in range(8)])
+        hd = ((d_ref[...] * C1) >> (32 - hbits)).reshape(orows, half)
+        hc = ((c_ref[...] * C1) >> (32 - hbits)).reshape(orows, half)
         cat = jnp.concatenate([hc, hd], axis=1)  # [context | span]
         pos = jax.lax.broadcasted_iota(jnp.uint32, (orows, sps), 1)
-        refs[16][...] = (cat << pbits) | pos
+        out_ref[...] = (cat << pbits) | pos
 
     spec = pl.BlockSpec((rows, spb), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    views = [blocks[:, k::stride] for k in range(8)]
-    zero4 = jnp.zeros((sb, spb), blocks.dtype)
-    ctx_views = [jnp.concatenate([zero4, v[:-sb]], axis=0) for v in views]
+    dest = minz[:, ::stride]
+    ctx = jnp.concatenate(
+        [jnp.full((sb, spb), 0xFFFFFFFF, minz.dtype), dest[:-sb]], axis=0)
     return pl.pallas_call(
         kernel,
         grid=(B // rows,),
-        in_specs=[spec] * 16,
+        in_specs=[spec, spec],
         out_specs=pl.BlockSpec((orows, sps), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B // sb, sps), jnp.uint32),
         compiler_params=_CP,
         interpret=interpret,
-    )(*views, *ctx_views)
+    )(dest, ctx)
 
 
 def ldm_unsorted(blocks: jnp.ndarray, span_blocks: int = 4,
                  neighbors: int = 1, interpret: bool | None = None
                  ) -> jnp.ndarray:
-    """LDM candidate chain: keys -> sort -> neighbor/un-sort keys ->
-    sort. Returns (B/span_blocks, sps) u32, entry j = (j << hbits |
-    sample offset) — position-ordered like the short-range su arrays."""
-    key = ldm_keys(blocks, span_blocks, interpret=interpret)
+    """LDM candidate chain: minimizers -> keys -> sort -> neighbor/
+    un-sort keys -> sort. Returns (B/span_blocks, sps) u32, entry j =
+    (j << hbits | sample offset) — position-ordered like the short-range
+    su arrays."""
+    stride = ldm_stride(span_blocks, blocks.shape[1])
+    minz = ldm_winmin(blocks, stride, interpret=interpret)
+    key = ldm_keys(minz, span_blocks, stride, interpret=interpret)
     pbits = (key.shape[1] - 1).bit_length()
     return _sort_rows(neighbor_unsort_keys(_sort_rows(key), pbits,
                                            neighbors,
@@ -791,18 +865,22 @@ def merge_ldm(mlen: jnp.ndarray, moff: jnp.ndarray, su: jnp.ndarray,
         return jnp.concatenate(
             [a[:, s:], jnp.full((nspans, s), fill, a.dtype)], axis=1)
 
-    # Chained reach over consecutive samples with equal offset (doubling;
-    # matches finalize_candidates' estimator on the sample grid).
+    # Chained reach over consecutive samples agreeing on the offset.
+    # Minimizer offsets are slot-quantized with +-1 slot jitter (the two
+    # copies' minimizers round to floor/ceil slots independently), so
+    # agreement is |delta| <= 1, which rules out the doubling trick —
+    # use a linear prefix-AND chain instead (reach caps at 6 units).
     reach = (offs > 0).astype(jnp.int32)
-    unit = 1
-    for _ in range(6):                     # reach caps at 64 units = 2K
-        cont = (offs > 0) & (reach == unit) & (shl(offs, unit, 0) == offs)
-        reach = jnp.where(cont, reach + shl(reach, unit, 0), reach)
-        unit *= 2
+    agree = offs > 0
+    for k in range(1, 6):
+        nxt = shl(offs, k, 0)
+        agree = agree & (jnp.abs(nxt - offs) <= 1) & (nxt > 0)
+        reach = reach + agree.astype(jnp.int32)
     est = reach * stride
-    # >= 64 B chain evidence; byte offset in [64, max_off] — max_off is
-    # the level's frame window (window_log >= 19), so every emitted
-    # offset is format-legal; the span geometry bounds reach at
+    # >= 2-sample chain evidence; byte offset in [2*stride, max_off] —
+    # max_off is the level's frame window (window_log >= 19), so every
+    # claim is format-legal (the host slide probe enforces its own
+    # window cap); the span geometry bounds reach at
     # 2 * span_blocks * block_size.
     valid = (reach >= 2) & (offs >= 2) \
         & (offs * stride <= max_off)

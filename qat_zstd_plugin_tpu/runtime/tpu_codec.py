@@ -448,7 +448,8 @@ class TpuCodec:
                 # Re-extend the device's capped matches to true lengths.
                 ll, of, ml, lastlit = native.extend_sequences(
                     cblk, seqs.lit_lengths, seqs.offsets,
-                    seqs.match_lengths, seqs.last_literals, ctx_len=ctx)
+                    seqs.match_lengths, seqs.last_literals, ctx_len=ctx,
+                    max_off=win)
                 # The device match window is segment-local (32K); this
                 # re-matches the long literal runs it left behind against
                 # the full block AND the cross-block window context
