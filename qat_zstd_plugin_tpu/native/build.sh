@@ -20,6 +20,22 @@ if [ "$1" = "asan" ]; then
         -fsanitize=address,undefined -fno-sanitize-recover=undefined \
         -fno-omit-frame-pointer -fwrapv -Wall -Wextra -Wno-unused-parameter \
         qz_entropy.cc -o "$OUT.tmp.$$"
+elif [ "$1" = "fuzz" ]; then
+    # Coverage-guided fuzzer (GCC trace-pc + ASan/UBSan; no clang/libFuzzer
+    # in this image — qz_fuzz.cc carries its own mutate/coverage loop).
+    # The library TU is instrumented; the driver TU is not (self-coverage
+    # would drown library edges).
+    OUT=qz_fuzz
+    g++ -O1 -g -std=c++17 -c \
+        -fsanitize=address,undefined -fno-sanitize-recover=undefined \
+        -fsanitize-coverage=trace-pc \
+        -fno-omit-frame-pointer -fwrapv qz_entropy.cc -o qz_entropy_cov.o
+    g++ -O1 -g -std=c++17 -c \
+        -fsanitize=address,undefined -fno-sanitize-recover=undefined \
+        -fno-omit-frame-pointer -fwrapv qz_fuzz.cc -o qz_fuzz.o
+    g++ -fsanitize=address,undefined qz_entropy_cov.o qz_fuzz.o \
+        -o "$OUT.tmp.$$" -lzstd -lpthread
+    rm -f qz_entropy_cov.o qz_fuzz.o
 else
     OUT=libqz_entropy.so
     g++ $ARCH_FLAGS -std=c++17 -shared -fPIC \

@@ -1,0 +1,39 @@
+"""Coverage-guided fuzz smoke (VERDICT r2 #6).
+
+The reference ships libFuzzer targets over its sequence-producer ABI
+(test/fuzzing/qatseqprodfuzzer.c:41-74). This image has no clang, so
+native/qz_fuzz.cc implements the equivalent with GCC trace-pc coverage +
+ASan/UBSan and a stock-libzstd round-trip oracle. CI runs a short
+campaign per target; scripts/fuzz.sh runs the long ones.
+"""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+NATIVE = os.path.join(os.path.dirname(__file__), "..",
+                      "qat_zstd_plugin_tpu", "native")
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no toolchain")
+
+
+@pytest.fixture(scope="module")
+def fuzzer(tmp_path_factory):
+    exe = os.path.join(NATIVE, "qz_fuzz")
+    subprocess.run(["bash", "build.sh", "fuzz"], cwd=NATIVE, check=True,
+                   capture_output=True)
+    return exe
+
+
+@pytest.mark.parametrize("target", ["roundtrip", "extend", "mt"])
+def test_fuzz_target_clean(fuzzer, target, tmp_path):
+    corpus = tmp_path / target
+    r = subprocess.run([fuzzer, target, "10", str(corpus)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "OK target=" in r.stdout
+    # coverage actually accumulated (the loop is not a no-op)
+    assert int(r.stdout.split("edges=")[1]) > 500
