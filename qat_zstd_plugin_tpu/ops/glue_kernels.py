@@ -745,12 +745,13 @@ def ldm_winmin(blocks: jnp.ndarray, stride: int,
         x = x_ref[...].astype(jnp.uint32)
         gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
         h = _hash_tile(x, 8, N, 32, gp)
-        m = h
+        # Sign-flipped i32 min (Mosaic cannot legalize unsigned min).
+        m = (h ^ jnp.uint32(0x80000000)).astype(jnp.int32)
         s = 1
         while s < stride:
-            m = jnp.minimum(m, _shl(m, s, jnp.uint32(0xFFFFFFFF), gp))
+            m = jnp.minimum(m, _shl(m, s, jnp.int32(0x7FFFFFFF), gp))
             s *= 2
-        out_ref[...] = m
+        out_ref[...] = m.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
 
     spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -834,29 +835,25 @@ def ldm_unsorted(blocks: jnp.ndarray, span_blocks: int = 4,
                                            interpret=interpret))
 
 
-@functools.partial(jax.jit, static_argnames=("span_blocks", "local_cap",
-                                             "max_off"))
-def merge_ldm(mlen: jnp.ndarray, moff: jnp.ndarray, su: jnp.ndarray,
-              lengths: jnp.ndarray, span_blocks: int, local_cap: int,
-              max_off: int = 1 << 19):
-    """Fold LDM candidates into the local (mlen, moff) candidate arrays.
+def _ldm_est(su: jnp.ndarray, lengths: jnp.ndarray, n: int,
+             span_blocks: int, max_off: int):
+    """Sample-grid LDM claims from position-ordered LDM keys.
 
     su: (B/span_blocks, sps) position-ordered LDM keys; the second half
     of each row holds this span's samples (the first half is sliding
     context — candidates only). A sample's candidate survives when >= 2
     consecutive samples chain on the same offset (collision kill + 64 B
     length evidence); its estimate is the chained span (32 bytes per
-    unit, up to 2 KiB) and it takes the position only where the local
-    estimate is shorter AND unsaturated (a saturated local estimate
-    means a long nearby match — preferring it keeps offsets small for
-    the entropy coder). Offsets are raw byte offsets (exact — the slot
-    contract carries 30 offset bits)."""
-    B, N = mlen.shape
+    unit, up to 2 KiB). Returns (est_b, off_b): (B, spb) int32 chained
+    estimates (0 = no claim) and raw byte offsets on the sample grid.
+    Traced inside both merge_ldm (full-resolution path) and the fused
+    dense compact (slot-plane path)."""
     sb = span_blocks
-    stride = ldm_stride(sb, N)
+    stride = ldm_stride(sb, n)
     nspans, sps = su.shape
     half = sps // 2
     spb = half // sb
+    B = nspans * sb
     pbits = (sps - 1).bit_length()
     dest = jax.lax.slice(su, (0, half), (nspans, sps))
     offs = (dest & jnp.uint32((1 << (32 - pbits)) - 1)).astype(jnp.int32)
@@ -890,6 +887,26 @@ def merge_ldm(mlen: jnp.ndarray, moff: jnp.ndarray, su: jnp.ndarray,
     posb = jnp.arange(spb, dtype=jnp.int32)[None, :] * stride
     est_b = jnp.where(posb + 40 <= lengths.astype(jnp.int32)[:, None],
                       est_b, 0)
+    return est_b, off_b
+
+
+@functools.partial(jax.jit, static_argnames=("span_blocks", "local_cap",
+                                             "max_off"))
+def merge_ldm(mlen: jnp.ndarray, moff: jnp.ndarray, su: jnp.ndarray,
+              lengths: jnp.ndarray, span_blocks: int, local_cap: int,
+              max_off: int = 1 << 19):
+    """Fold LDM candidates into the local (mlen, moff) candidate arrays.
+
+    An LDM claim takes a position only where the local estimate is
+    shorter AND unsaturated (a saturated local estimate means a long
+    nearby match — preferring it keeps offsets small for the entropy
+    coder). Offsets are raw byte offsets (exact — the slot contract
+    carries 30 offset bits). Full-resolution variant for the parsed
+    (non-dense) pipeline; the dense path uses compact_slots_dense."""
+    B, N = mlen.shape
+    stride = ldm_stride(span_blocks, N)
+    est_b, off_b = _ldm_est(su, lengths, N, span_blocks, max_off)
+    spb = est_b.shape[1]
 
     def up(x):  # sample grid -> position grid (zeros off-grid)
         z = jnp.zeros((B, spb, stride - 1), x.dtype)
@@ -906,6 +923,96 @@ def merge_ldm(mlen: jnp.ndarray, moff: jnp.ndarray, su: jnp.ndarray,
     take = (up_est > mlen) & ((mlen < local_cap) | (up_est >= 128))
     return (jnp.where(take, up_est, mlen),
             jnp.where(take, up(off_b), moff))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "span_blocks",
+                                             "local_cap", "max_off",
+                                             "interpret"))
+def compact_slots_dense(mlen: jnp.ndarray, moff: jnp.ndarray, window: int,
+                        su: jnp.ndarray | None = None,
+                        lengths: jnp.ndarray | None = None,
+                        span_blocks: int = 0, local_cap: int = 24,
+                        max_off: int = 1 << 19,
+                        interpret: bool | None = None):
+    """Fused dense-parse + LDM-merge + slot compaction: ONE program from
+    the candidate arrays to the (B*nseg, w/4) slot words.
+
+    The dense path has no device parse — every >= MIN_MATCH candidate is
+    claimed — so `chosen` never needs to exist: the kernel derives it
+    from mlen lanes directly. LDM candidates live only on the sample
+    grid (stride >= 32, 32-aligned => subslot k == 0), so the merge that
+    merge_ldm performs at full (B, N) resolution collapses to a
+    slot-plane override: expand the (B, spb) sample-grid estimates to
+    the (B, N/4) slot grid (4x less traffic than the position grid) and
+    let an LDM claim take its slot when it beats the local k=0 lane
+    under merge_ldm's exact take rule. Saves two full-size dispatches
+    (merge_ldm, _dense_chosen) and ~3 full-size HBM round trips —
+    measured 1382 -> ~2x MB/s on the L1 dense+ldm4 pipeline."""
+    from .match_pipeline import MIN_MATCH
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = mlen.shape
+    w = min(window, N)
+    nseg = N // w
+    rows = _rows(B)
+    Ns = N // 4
+    ws = w // 4
+    has_ldm = su is not None
+    if has_ldm:
+        stride = ldm_stride(span_blocks, N)
+        est_b, off_b = _ldm_est(su, lengths, N, span_blocks, max_off)
+        spb = est_b.shape[1]
+        sls = Ns // spb  # slots per sample (= stride // 4)
+
+        def up_slot(x):  # sample grid -> slot grid (zeros off-grid)
+            z = jnp.zeros((B, spb, sls - 1), x.dtype)
+            return jnp.concatenate([x[:, :, None], z], axis=2) \
+                .reshape(B, Ns)
+
+        est_s = up_slot(est_b)
+        off_s = up_slot(off_b)
+
+    def kernel(*refs):
+        ml = [refs[k][...] for k in range(4)]
+        of = [refs[4 + k][...] for k in range(4)]
+        # Sign-flipped i32 min (Mosaic lacks unsigned reductions):
+        # sentinel 0xFFFFFFFF flips to INT32_MAX, claims keep subslot
+        # priority order.
+        sign = jnp.int32(-0x80000000)
+        empty = jnp.int32(0x7FFFFFFF)
+        best = jnp.full(ml[0].shape, empty)
+        for k in range(4):
+            chk = ml[k] >= MIN_MATCH
+            keyk = ((jnp.int32(k) << 30) | of[k]) ^ sign
+            best = jnp.minimum(best, jnp.where(chk, keyk, empty))
+        if has_ldm:
+            est = refs[8][...]
+            ldo = refs[9][...]
+            # merge_ldm's take rule at the k == 0 lane (sample positions
+            # are stride-aligned). k == 0 wins the subslot min anyway,
+            # so overriding after the reduction is exact.
+            take = (est > ml[0]) & ((ml[0] < jnp.int32(local_cap))
+                                    | (est >= 128))
+            best = jnp.where(take, ldo ^ sign, best)
+        out = (best ^ sign).astype(jnp.uint32)
+        refs[-1][...] = out.reshape(rows * nseg, ws)
+
+    spec = pl.BlockSpec((rows, Ns), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    ml4 = [mlen[:, k::4].astype(jnp.int32) for k in range(4)]
+    of4 = [moff[:, k::4].astype(jnp.int32) for k in range(4)]
+    ins = ml4 + of4 + ([est_s, off_s] if has_ldm else [])
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec] * len(ins),
+        out_specs=pl.BlockSpec((rows * nseg, ws), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nseg, ws), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(*ins)
 
 
 def find_matches_positions(blocks, lengths, widths=(6,),
@@ -949,14 +1056,22 @@ def find_matches_positions(blocks, lengths, widths=(6,),
     mlen, moff = candidates_hash_split(blocks, lengths, widths=widths,
                                        neighbors=neighbors, window=window,
                                        interpret=interpret)
+    if dense:
+        # Fused tail: dense claim derivation + LDM slot-plane merge +
+        # slot compaction in one program (see compact_slots_dense).
+        su_l = (ldm_unsorted(blocks, ldm, neighbors=1, interpret=interpret)
+                if ldm else None)
+        return compact_slots_dense(
+            mlen, moff, window, su=su_l,
+            lengths=lengths if ldm else None, span_blocks=ldm,
+            local_cap=4 * max(widths), max_off=ldm_max_off,
+            interpret=interpret)
     if ldm:
         su_l = ldm_unsorted(blocks, ldm, neighbors=1, interpret=interpret)
         mlen, moff = merge_ldm(mlen, moff, su_l, lengths, ldm,
                                local_cap=4 * max(widths),
                                max_off=ldm_max_off)
-    if dense:
-        chosen = _dense_chosen(mlen)
-    elif parser == "pallas" or psegs > 1:
+    if parser == "pallas" or psegs > 1:
         # psegs relies on the kernel's segment-end truncation to keep the
         # >= MIN_MATCH claim spacing invariant, so it always routes through
         # the Pallas parse (interpret mode off-TPU).
@@ -969,7 +1084,3 @@ def find_matches_positions(blocks, lengths, widths=(6,),
     return compact_slots(chosen, moff, window, interpret=interpret)
 
 
-@jax.jit
-def _dense_chosen(mlen):
-    from .match_pipeline import MIN_MATCH
-    return (mlen >= MIN_MATCH).astype(jnp.int32)
