@@ -62,6 +62,34 @@ def sharded_pipeline(mesh: Mesh, neighbors: int = 4, max_seq: int = 16384,
     return run
 
 
+def sharded_positions_step(mesh: Mesh, widths: tuple = (6,),
+                           window: int = 32768, ldm: int = 4,
+                           interpret: bool | None = None):
+    """The production fast-level pipeline (hash matcher + minimizer LDM +
+    dense slot contract, glue_kernels.find_matches_positions) sharded
+    over the block axis with shard_map.
+
+    Each device runs the identical per-shard program (SPMD, no hot-loop
+    collectives — the reference's share-nothing instance model). LDM span
+    context slides within a shard only: the first span of every shard
+    sees empty context, exactly like the first span of a single-chip
+    batch, so shard boundaries degrade gracefully to local matching.
+    Returns a jitted (blocks, lengths) -> slot-words function.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import glue_kernels
+
+    def local(blocks, lengths):
+        return glue_kernels.find_matches_positions(
+            blocks, lengths, widths=widths, window=window,
+            ldm=ldm, dense=True, interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(AXIS, None), P(AXIS)),
+                   out_specs=P(AXIS, None), check_rep=False)
+    return jax.jit(fn)
+
+
 def compression_step(mesh: Mesh, neighbors: int = 4, max_seq: int = 16384,
                      parser: str = "scan"):
     """Full sharded 'training-step' analog used by the multi-chip dryrun:

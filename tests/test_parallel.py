@@ -45,4 +45,7 @@ def test_graft_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert np.asarray(out["nseq"]).shape == (args[0].shape[0],)
+    # Slot-words contract: (B*nseg, w/4) u32, claims are non-sentinel.
+    arr = np.asarray(out)
+    assert arr.shape[0] % args[0].shape[0] == 0
+    assert (arr != 0xFFFFFFFF).sum() > 0

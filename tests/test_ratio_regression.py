@@ -34,27 +34,24 @@ def _ratio(codec, data):
 
 
 def test_device_path_l1_ratio(corpus):
-    # L1 rides the hash matcher (quantized claims, host-verified): ~1
-    # ratio point behind the content matcher for a multiple of its speed.
+    # L1 rides the hash matcher (quantized claims, host-verified) plus
+    # minimizer LDM; measured 0.2745 on this corpus.
     r = _ratio(TpuCodec(level=1, batch=4, use_device=True), corpus)
-    assert r < 0.295, r
+    assert r < 0.280, r
 
 
 def test_device_path_l3_ratio(corpus):
     r = _ratio(TpuCodec(level=3, batch=4, use_device=True), corpus)
-    assert r < 0.292, r
+    assert r < 0.272, r
 
 
 def test_device_vs_stock_per_level(corpus):
     """Per-level parity gate vs stock zstd (BASELINE.md) for the device
-    pipeline. Device blocks are still window-independent (stock's matcher
-    sees cross-block history on this multi-block corpus), so the bounds
-    carry that handicap + missing repcodes; the CPU-native path below has
-    context and gets strict bounds."""
-    # L1 is the single-width speed point (device hash matcher); the
-    # software path below holds the strict near-parity line.
-    # Gap-fill (cross-block host re-match) pulled L5 under stock.
-    for lvl, bound in ((1, 1.09), (2, 1.07), (4, 1.07), (5, 1.0),
+    pipeline. Device LDM (minimizer sampling over span context) closed
+    the cross-block redundancy hole: L2-L4 now BEAT stock outright and
+    L1 is within ~1.3% (measured r3: L1 1.012x, L2 0.973x, L4 0.977x,
+    L5 0.996x, L9 1.007x)."""
+    for lvl, bound in ((1, 1.03), (2, 1.0), (4, 1.0), (5, 1.0),
                        (9, 1.01)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
@@ -75,7 +72,7 @@ def test_cpu_native_vs_stock_per_level(corpus):
 
 def test_device_path_l9_ratio(corpus):
     r = _ratio(TpuCodec(level=9, batch=4, use_device=True), corpus)
-    assert r < 0.285, r
+    assert r < 0.270, r
 
 
 def test_device_entropy_ratio(corpus):
