@@ -60,10 +60,11 @@ def test_device_vs_stock_per_level(corpus):
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
 def test_cpu_native_vs_stock_per_level(corpus):
-    """The software path (cross-block context, native matcher) must beat
-    stock zstd outright at L5+ and stay within 5% at L1-L4 (repcodes
-    pending)."""
-    for lvl, bound in ((1, 1.05), (3, 1.05), (5, 1.0), (9, 1.0),
+    """The software path (cross-block context, native matcher, repcodes,
+    gap-fill) must beat stock zstd outright at L3+ and stay within 2% at
+    L1 (measured r3 mixed corpus: L1 1.005x, L3 0.979x, L5 0.994x,
+    L9 0.962x, L12 0.974x)."""
+    for lvl, bound in ((1, 1.02), (3, 1.0), (5, 1.0), (9, 1.0),
                        (12, 1.0)):
         ours = _ratio(TpuCodec(level=lvl, use_device=False), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
