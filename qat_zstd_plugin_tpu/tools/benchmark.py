@@ -84,6 +84,10 @@ class ThreadResult:
     ratio: float = 0.0
     verify_ok: bool = False
     errors: list = field(default_factory=list)
+    # Codec-internal per-block stats (modes 0/1: BlockStats summary with
+    # block latency percentiles — the inside-the-codec view the chunk
+    # histogram above cannot see).
+    block_stats: dict = field(default_factory=dict)
 
 
 def _worker(tid: int, args, data: bytes, hist: Histogram,
@@ -139,6 +143,8 @@ def _worker(tid: int, args, data: bytes, hist: Histogram,
                 oracle.decompress(f, len(c))
         res.decomp_mbs = len(data) * args.loops / (
             time.perf_counter() - t0) / 1e6
+        if args.mode in (0, 1):
+            res.block_stats = codec.stats.summary()
     except Exception as e:
         res.errors.append(repr(e))
         # Release peers blocked on the phase barriers (a failed thread
@@ -216,6 +222,13 @@ def run(argv=None) -> int:
         print(f"thread {i}: compress {r.comp_mbs:8.1f} MB/s  "
               f"decompress {r.decomp_mbs:8.1f} MB/s  "
               f"ratio {r.ratio*100:5.1f}%  {status}{extra}")
+        if r and r.block_stats:
+            bs = r.block_stats
+            lat = bs.get("block_latency_us", {})
+            print(f"  blocks={bs['blocks']} raw={bs['raw_blocks']} "
+                  f"fallback={bs['fallback_blocks']} "
+                  + " ".join(f"block_{k}={v:.0f}us"
+                             for k, v in lat.items()))
     agg = sum(r.comp_mbs for r in results if r)
     print(f"aggregate compress: {agg:.1f} MB/s over {args.threads} threads "
           f"({wall:.1f}s wall)")
@@ -229,7 +242,8 @@ def run(argv=None) -> int:
             "ok": ok, "aggregate_mbs": round(agg, 2),
             "ratio": results[0].ratio if results[0] else None,
             "decomp_mbs": round(sum(r.decomp_mbs for r in results if r), 2),
-            "latency_us": hist.summary(), "threads": args.threads}))
+            "latency_us": hist.summary(), "threads": args.threads,
+            "block_stats": results[0].block_stats if results[0] else {}}))
     s = hist.summary()
     if s:
         print("chunk latency us: "

@@ -28,9 +28,16 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+# Per-block latency buckets: geometric x1.05 from 1 us, 200 buckets —
+# the reference benchmark's histogram scheme (test/benchmark.c:100-169)
+# applied at block granularity inside the codec.
+_NB_BUCKETS = 200
+_GROWTH = 1.05
+
+
 @dataclass
 class BlockStats:
-    """Thread-safe per-block accounting."""
+    """Thread-safe per-block accounting with a latency histogram."""
     blocks: int = 0
     input_bytes: int = 0
     output_bytes: int = 0
@@ -39,9 +46,14 @@ class BlockStats:
     total_seconds: float = 0.0
     _lock: threading.Lock = field(default_factory=threading.Lock,
                                   repr=False)
+    _buckets: list = field(default_factory=lambda: [0] * _NB_BUCKETS,
+                           repr=False)
 
     def record(self, in_bytes: int, out_bytes: int | None,
                seconds: float, fallback: bool = False) -> None:
+        import math
+        us = max(seconds * 1e6, 1.0)
+        idx = min(int(math.log(us, _GROWTH)), _NB_BUCKETS - 1)
         with self._lock:
             self.blocks += 1
             self.input_bytes += in_bytes
@@ -51,10 +63,25 @@ class BlockStats:
             else:
                 self.output_bytes += out_bytes
             self.total_seconds += seconds
+            self._buckets[idx] += 1
             if fallback:
                 self.fallback_blocks += 1
 
+    def latency_percentile(self, p: float) -> float:
+        """Approximate per-block latency percentile in microseconds
+        (bucket upper edge), from the geometric histogram."""
+        with self._lock:
+            target = self.blocks * p / 100.0
+            acc = 0
+            for i in range(_NB_BUCKETS):
+                acc += self._buckets[i]
+                if acc >= target and target > 0:
+                    return _GROWTH ** (i + 1)
+        return 0.0
+
     def summary(self) -> dict:
+        pcts = {f"P{p}": round(self.latency_percentile(p), 1)
+                for p in (50, 99)} if self.blocks else {}
         with self._lock:
             mbs = (self.input_bytes / self.total_seconds / 1e6
                    if self.total_seconds else 0.0)
@@ -65,6 +92,7 @@ class BlockStats:
                 "fallback_blocks": self.fallback_blocks,
                 "raw_blocks": self.raw_blocks,
                 "throughput_mbs": round(mbs, 1),
+                "block_latency_us": pcts,
             }
 
 
