@@ -143,6 +143,32 @@ def main() -> None:
         samples.append(B * BLOCK / ((t5 - t1) / 4) / 1e6)
     dev_mbs, dev_spread = _median_spread(samples)
 
+    # --- device level ladder (L2/L4 at the same batch: wider hash
+    # widths + larger LDM spans trade speed for ratio).
+    ladder = {}
+    for lvl in (2, 4):
+        try:
+            p = TPU_LEVEL_TABLE[lvl]
+
+            def run_lvl():
+                return mp.find_matches_positions(
+                    blocks, lengths, widths=p.widths,
+                    neighbors=p.neighbors, window=p.window,
+                    max_seq=16384, parser=parser, lazy=p.lazy,
+                    psegs=p.psegs, ldm=p.ldm, ldm_max_off=1 << 19,
+                    dense=p.dense)
+
+            ch = _chain_timer(run_lvl, lambda out: out[0, 0])
+            ch(1)
+            ss = []
+            for _ in range(3):
+                t1 = ch(1)
+                t3 = ch(3)
+                ss.append(B * BLOCK / ((t3 - t1) / 2) / 1e6)
+            ladder[f"L{lvl}"] = round(_median_spread(ss)[0], 1)
+        except Exception as exc:
+            print(f"ladder L{lvl} failed: {exc!r}", file=sys.stderr)
+
     # --- end-to-end frame + device-path ratio
     codec = TpuCodec(level=LEVEL, batch=B, block_size=BLOCK, max_seq=16384)
     codec.compress(data[: B * BLOCK])  # warm the full-batch shape
@@ -203,6 +229,7 @@ def main() -> None:
         "e2e_mbs": round(e2e_mbs, 1),
         "ratio": round(len(frame) / len(data), 4),
         "roundtrip_bitexact": ok,
+        "device_ladder_mbs": ladder,
         "device_entropy_mbs": de_mbs,
         "device_entropy_ratio": de_ratio,
         "device_entropy_bitexact": de_ok,
