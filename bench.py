@@ -177,9 +177,19 @@ def main() -> None:
     e2e_mbs = len(data) / (time.perf_counter() - t0) / 1e6
     ok = oracle.roundtrip_ok(frame, data) if oracle.available() else None
 
-    # --- full on-device entropy mode (device emits complete block bodies)
+    # --- full on-device entropy mode (device emits complete block bodies).
+    # Gated on a cache-warm marker: this pipeline's remote Mosaic compile
+    # measured 45+ min on the dev relay, so the row only runs when a prior
+    # warm run has populated the persistent jax cache (scripts/warm_de.py
+    # writes the marker after succeeding). Without the marker the row
+    # reports null rather than risking the whole capture on one compile.
     de_mbs = de_ratio = de_ok = None
+    de_marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache", "DE_WARM")
     try:
+        if not os.path.exists(de_marker):
+            raise RuntimeError("device-entropy compile cache not warm "
+                               "(see scripts/warm_de.py)")
         de_codec = TpuCodec(level=LEVEL, batch=B, block_size=BLOCK,
                             max_seq=16384, device_entropy=True)
         sub = data[: B * BLOCK]
