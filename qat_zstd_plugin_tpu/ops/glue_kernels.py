@@ -128,6 +128,56 @@ def hash_keys(blocks: jnp.ndarray, width: int, window: int,
     )(blocks)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "window", "stride",
+                                             "interpret"))
+def hash_keys_winmin(blocks: jnp.ndarray, width: int, window: int,
+                     stride: int, interpret: bool | None = None):
+    """hash_keys + ldm_winmin in ONE kernel: both read the full block
+    bytes, so fusing them saves one complete HBM read pass per batch
+    (the 4-byte gram rolls are shared by both hashes). Returns
+    ((B*nseg, w) sort keys, (B, N) windowed-minimizer plane)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    hbits = 32 - pbits
+    rows = _rows(B)
+    nseg = N // w
+    assert stride & (stride - 1) == 0
+
+    def kernel(x_ref, key_ref, min_ref):
+        x = x_ref[...].astype(jnp.uint32)
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        h = _hash_tile(x, width, N, hbits, gp)
+        pos = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
+            & jnp.uint32(w - 1)
+        key_ref[...] = ((h << pbits) | pos).reshape(rows * nseg, w)
+        h8 = _hash_tile(x, 8, N, 32, gp)
+        # Sign-flipped i32 min (Mosaic cannot legalize unsigned min).
+        m = (h8 ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+        s = 1
+        while s < stride:
+            m = jnp.minimum(m, _shl(m, s, jnp.int32(0x7FFFFFFF), gp))
+            s *= 2
+        min_ref[...] = m.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rows, N), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32),
+                   jax.ShapeDtypeStruct((B, N), jnp.uint32)],
+        compiler_params=_CP,
+        interpret=interpret,
+    )(blocks)
+
+
 @functools.partial(jax.jit, static_argnames=("pbits", "neighbors",
                                              "interpret"))
 def neighbor_unsort_keys(sk: jnp.ndarray, pbits: int, neighbors: int = 1,
@@ -820,14 +870,16 @@ def ldm_keys(minz: jnp.ndarray, span_blocks: int = 4, stride: int = 32,
 
 
 def ldm_unsorted(blocks: jnp.ndarray, span_blocks: int = 4,
-                 neighbors: int = 1, interpret: bool | None = None
-                 ) -> jnp.ndarray:
+                 neighbors: int = 1, interpret: bool | None = None,
+                 minz: jnp.ndarray | None = None) -> jnp.ndarray:
     """LDM candidate chain: minimizers -> keys -> sort -> neighbor/
     un-sort keys -> sort. Returns (B/span_blocks, sps) u32, entry j =
     (j << hbits | sample offset) — position-ordered like the short-range
-    su arrays."""
+    su arrays. Pass a precomputed minimizer plane (hash_keys_winmin) to
+    skip the standalone winmin pass."""
     stride = ldm_stride(span_blocks, blocks.shape[1])
-    minz = ldm_winmin(blocks, stride, interpret=interpret)
+    if minz is None:
+        minz = ldm_winmin(blocks, stride, interpret=interpret)
     key = ldm_keys(minz, span_blocks, stride, interpret=interpret)
     pbits = (key.shape[1] - 1).bit_length()
     return _sort_rows(neighbor_unsort_keys(_sort_rows(key), pbits,
@@ -1053,18 +1105,41 @@ def find_matches_positions(blocks, lengths, widths=(6,),
     """
     from .match_pipeline import MIN_MATCH, _parse
 
+    if dense and ldm:
+        # LDM head fused into the first width's key build (one read of
+        # the block bytes feeds both hash planes), LDM tail fused into
+        # the slot compaction (see compact_slots_dense).
+        B, N = blocks.shape
+        w = min(window, N)
+        pbits = (w - 1).bit_length()
+        stride = ldm_stride(ldm, N)
+        sus = []
+        minz = None
+        for i, width in enumerate(widths):
+            if i == 0:
+                key, minz = hash_keys_winmin(blocks, width, window, stride,
+                                             interpret=interpret)
+            else:
+                key = hash_keys(blocks, width, window, interpret=interpret)
+            sus.append(_sort_rows(neighbor_unsort_keys(
+                _sort_rows(key), pbits, neighbors, interpret=interpret)))
+        mlen, moff = finalize_candidates(tuple(sus), blocks, lengths,
+                                         tuple(widths), window, 2,
+                                         interpret=interpret)
+        su_l = ldm_unsorted(blocks, ldm, neighbors=1, interpret=interpret,
+                            minz=minz)
+        return compact_slots_dense(
+            mlen, moff, window, su=su_l, lengths=lengths, span_blocks=ldm,
+            local_cap=4 * max(widths), max_off=ldm_max_off,
+            interpret=interpret)
     mlen, moff = candidates_hash_split(blocks, lengths, widths=widths,
                                        neighbors=neighbors, window=window,
                                        interpret=interpret)
     if dense:
-        # Fused tail: dense claim derivation + LDM slot-plane merge +
-        # slot compaction in one program (see compact_slots_dense).
-        su_l = (ldm_unsorted(blocks, ldm, neighbors=1, interpret=interpret)
-                if ldm else None)
+        # Fused tail: dense claim derivation + slot compaction in one
+        # program (see compact_slots_dense).
         return compact_slots_dense(
-            mlen, moff, window, su=su_l,
-            lengths=lengths if ldm else None, span_blocks=ldm,
-            local_cap=4 * max(widths), max_off=ldm_max_off,
+            mlen, moff, window, local_cap=4 * max(widths),
             interpret=interpret)
     if ldm:
         su_l = ldm_unsorted(blocks, ldm, neighbors=1, interpret=interpret)
