@@ -79,6 +79,99 @@ def literal_keys(blocks: jnp.ndarray, lengths: jnp.ndarray,
       chosen.astype(jnp.int32), mlen)
 
 
+_HIST_CHUNK = 512
+
+
+def _chunk_for(n: int) -> int:
+    c = _HIST_CHUNK
+    while n % c:
+        c //= 2
+    return max(c, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def byte_hist(sk: jnp.ndarray, interpret: bool | None = None
+              ) -> jnp.ndarray:
+    """(B, N) u32 literal keys (byte in bits 0-7, 0xFFFFFFFF = empty)
+    -> (B, 256) int32 byte histogram.
+
+    A naive XLA compare-reduce materializes a (B, N, 256) one-hot —
+    gigabytes at production shapes and a fused-compile blow-up (measured:
+    the device-entropy pipeline hung >80 min in it). This kernel keeps
+    the one-hot VMEM-resident per chunk and accumulates in a fori_loop.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = sk.shape
+    rows = _rows(B)
+    C = _chunk_for(N)
+
+    def kernel(x_ref, out_ref):
+        def body(i, acc):
+            ch = x_ref[:, pl.ds(i * C, C)]
+            valid = ch != jnp.uint32(SENT)
+            byte = (ch & jnp.uint32(0xFF)).astype(jnp.int32)
+            sym = jax.lax.broadcasted_iota(jnp.int32, (rows, C, 256), 2)
+            oh = (byte[:, :, None] == sym) & valid[:, :, None]
+            return acc + oh.astype(jnp.int32).sum(axis=1)
+
+        out_ref[...] = jax.lax.fori_loop(
+            0, N // C, body, jnp.zeros((rows, 256), jnp.int32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 256), jnp.int32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(sk)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def entry_lookup(sk: jnp.ndarray, entry: jnp.ndarray,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """items[b, i] = entry[b, sk[b, i] & 0xFF] (0 where sk is the empty
+    sentinel) — the per-literal (code | nbits << 11) table lookup, done
+    chunkwise in VMEM for the same reason as byte_hist."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = sk.shape
+    rows = _rows(B)
+    C = min(_chunk_for(N), 256)
+
+    def kernel(x_ref, e_ref, out_ref):
+        ent = e_ref[...]
+
+        def body(i, _):
+            ch = x_ref[:, pl.ds(i * C, C)]
+            valid = ch != jnp.uint32(SENT)
+            byte = (ch & jnp.uint32(0xFF)).astype(jnp.int32)
+            sym = jax.lax.broadcasted_iota(jnp.int32, (rows, C, 256), 2)
+            it = jnp.where(byte[:, :, None] == sym,
+                           ent[:, None, :], 0).sum(axis=2)
+            out_ref[:, pl.ds(i * C, C)] = jnp.where(valid, it, 0)
+            return 0
+
+        jax.lax.fori_loop(0, N // C, body, 0)
+
+    spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec, pl.BlockSpec((rows, 256), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.int32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(sk, entry)
+
+
 def encode_literals_device(blocks: jnp.ndarray, lengths: jnp.ndarray,
                            chosen: jnp.ndarray, mlen: jnp.ndarray,
                            max_words: int | None = None,
@@ -101,17 +194,13 @@ def encode_literals_device(blocks: jnp.ndarray, lengths: jnp.ndarray,
     idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
     valid = sk != jnp.uint32(SENT)
     n_lit = valid.sum(axis=1).astype(jnp.int32)
-    byte = (sk & jnp.uint32(0xFF)).astype(jnp.int32)
 
-    # Histogram + tables (compare-reduce over the 256-symbol axis).
-    sym = jnp.arange(256, dtype=jnp.int32)
-    hist = ((byte[:, :, None] == sym) & valid[:, :, None]) \
-        .sum(axis=1).astype(jnp.int32)
+    # Histogram + tables + per-literal code lookup: chunked Pallas
+    # kernels (the XLA formulation materializes (B, N, 256) one-hots).
+    hist = byte_hist(sk, interpret=interpret)
     t = huffman_tables.build_tables(hist)
     entry = t["codes"] | (t["nb_bits"] << 11)           # (B, 256)
-    items = jnp.where(
-        (byte[:, :, None] == sym), entry[:, None, :], 0).sum(axis=2)
-    items = jnp.where(valid, items, 0)
+    items = entry_lookup(sk, entry, interpret=interpret)
 
     # 4-stream destination with in-stream reversal (write order = last
     # literal first). seg = ceil(n/4); stream s holds literal indices
