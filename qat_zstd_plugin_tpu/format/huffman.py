@@ -15,7 +15,6 @@ spec for the C++ native encoder and the TPU packers.
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass
 
 import numpy as np
@@ -35,6 +34,49 @@ class HuffmanTable:
     last_symbol: int      # largest present symbol
 
 
+def _package_merge_lengths(hist: np.ndarray, present: np.ndarray,
+                           limit: int) -> np.ndarray:
+    """OPTIMAL length-limited code lengths via package-merge.
+
+    The previous builder (plain Huffman, clamp to the limit, greedy Kraft
+    repair) measured ~3.5 KB/2 MB worse than optimal on the mixed corpus
+    — the greedy repair shortens by frequency without weighing budget
+    efficiency. Package-merge (Larmore–Hirschberg) is exact: build coin
+    lists level by level (denomination 2^-limit first), package pairs,
+    merge with the leaf list; the first 2n-2 items of the final list are
+    selected and each leaf's selection count is its code length.
+
+    Tie-breaking is deterministic (leaves sorted by (freq, symbol);
+    stable merge puts leaves before equal-frequency packages) and is
+    mirrored EXACTLY by the C++ builder (native/qz_entropy.cc
+    build_huffman) so host outputs stay byte-identical across paths.
+    """
+    leaves = sorted((int(hist[s]), int(s)) for s in present)
+    n = len(leaves)
+    # Items: (freq, payload); payload = ('L', sym) | ('P', a, b). The
+    # level-limit list is the bare leaves; each of the limit-1 rounds
+    # packages consecutive pairs and merges with the leaves, ending on
+    # the level-1 list, from which the first 2n-2 items are selected.
+    prev: list[tuple[int, tuple]] = []
+    for _ in range(limit - 1):
+        cur = [(f, ("L", s)) for f, s in leaves] + prev
+        cur.sort(key=lambda t: t[0])  # stable: leaves precede packages
+        prev = [(cur[i][0] + cur[i + 1][0], ("P", cur[i][1], cur[i + 1][1]))
+                for i in range(0, len(cur) - 1, 2)]
+    top = [(f, ("L", s)) for f, s in leaves] + prev
+    top.sort(key=lambda t: t[0])
+    lengths = np.zeros(256, dtype=np.int64)
+    stack = [payload for _, payload in top[: 2 * n - 2]]
+    while stack:
+        it = stack.pop()
+        if it[0] == "L":
+            lengths[it[1]] += 1
+        else:
+            stack.append(it[1])
+            stack.append(it[2])
+    return lengths
+
+
 def build_table(hist: np.ndarray) -> HuffmanTable:
     """Length-limited canonical Huffman table from a byte histogram."""
     hist = np.asarray(hist, dtype=np.int64)
@@ -42,57 +84,10 @@ def build_table(hist: np.ndarray) -> HuffmanTable:
     if len(present) < 2:
         raise ValueError("degenerate alphabet: use RLE/raw literals instead")
 
-    # 1. Plain Huffman lengths via a heap.
-    heap: list[tuple[int, int, tuple]] = []
-    uid = 0
-    for s in present:
-        heap.append((int(hist[s]), uid, (int(s),)))
-        uid += 1
-    heapq.heapify(heap)
-    lengths = np.zeros(256, dtype=np.int64)
-    while len(heap) > 1:
-        fa, _, syms_a = heapq.heappop(heap)
-        fb, _, syms_b = heapq.heappop(heap)
-        merged = syms_a + syms_b
-        for s in merged:
-            lengths[s] += 1
-        heapq.heappush(heap, (fa + fb, uid, merged))
-        uid += 1
-
-    # 2. Limit to MAX_CODE_BITS and repair the Kraft sum to exactly 1.
-    lengths = np.minimum(lengths, MAX_CODE_BITS)
-    unit = 1 << MAX_CODE_BITS  # work in units of 2^-MAX_CODE_BITS
-
-    def kraft() -> int:
-        return int(sum(unit >> int(lengths[s]) for s in present))
-
-    # Over-subscribed: lengthen the least-frequent symbols first.
-    by_freq = sorted(present, key=lambda s: int(hist[s]))
-    while kraft() > unit:
-        for s in by_freq:
-            if lengths[s] < MAX_CODE_BITS:
-                lengths[s] += 1
-                break
-        else:  # pragma: no cover
-            raise AssertionError("cannot repair Kraft sum")
-        if kraft() <= unit:
-            break
-    # Under-subscribed: shorten the most frequent symbols while it fits.
-    gap = unit - kraft()
-    by_freq_desc = sorted(present, key=lambda s: -int(hist[s]))
-    while gap > 0:
-        progressed = False
-        for s in by_freq_desc:
-            l = int(lengths[s])
-            if l > 1 and (unit >> l) <= gap:  # shortening adds 2^-l
-                lengths[s] = l - 1
-                gap -= unit >> l
-                progressed = True
-                if gap == 0:
-                    break
-        if not progressed:  # pragma: no cover
-            raise AssertionError("cannot complete Kraft sum")
-    assert kraft() == unit
+    lengths = _package_merge_lengths(hist, present, MAX_CODE_BITS)
+    unit = 1 << MAX_CODE_BITS
+    kraft = int(sum(unit >> int(lengths[s]) for s in present))
+    assert kraft == unit, kraft  # package-merge codes are complete
 
     max_bits = int(lengths[present].max())
     # 3. Canonical code values (mirrors libzstd's valPerRank assignment so

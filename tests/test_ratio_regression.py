@@ -48,10 +48,11 @@ def test_device_path_l3_ratio(corpus):
 def test_device_vs_stock_per_level(corpus):
     """Per-level parity gate vs stock zstd (BASELINE.md) for the device
     pipeline. Device LDM (minimizer sampling over span context) closed
-    the cross-block redundancy hole: L2-L4 now BEAT stock outright and
-    L1 is within ~1.3% (measured r3: L1 1.012x, L2 0.973x, L4 0.977x,
-    L5 0.996x, L9 1.007x)."""
-    for lvl, bound in ((1, 1.03), (2, 1.0), (4, 1.0), (5, 1.0),
+    the cross-block redundancy hole, and package-merge Huffman lengths
+    (optimal length-limited) recovered ~0.5% more: L2-L4 BEAT stock
+    outright and L1 is within ~0.8% (measured r3: L1 1.0076x,
+    L2 <= 0.973x, L4 <= 0.977x, L5 <= 0.996x, L9 ~1.003x)."""
+    for lvl, bound in ((1, 1.015), (2, 1.0), (4, 1.0), (5, 1.0),
                        (9, 1.01)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
@@ -61,10 +62,10 @@ def test_device_vs_stock_per_level(corpus):
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
 def test_cpu_native_vs_stock_per_level(corpus):
     """The software path (cross-block context, native matcher, repcodes,
-    gap-fill) must beat stock zstd outright at L3+ and stay within 2% at
-    L1 (measured r3 mixed corpus: L1 1.005x, L3 0.979x, L5 0.994x,
-    L9 0.962x, L12 0.974x)."""
-    for lvl, bound in ((1, 1.02), (3, 1.0), (5, 1.0), (9, 1.0),
+    gap-fill, package-merge Huffman) must beat stock zstd outright at
+    EVERY level (measured r3 mixed corpus: L1 0.9995x, L3 0.974x,
+    L5 0.992x, L9 0.960x, L12 <= 0.974x)."""
+    for lvl, bound in ((1, 1.005), (3, 1.0), (5, 1.0), (9, 1.0),
                        (12, 1.0)):
         ours = _ratio(TpuCodec(level=lvl, use_device=False), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
