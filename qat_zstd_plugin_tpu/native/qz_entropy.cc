@@ -1620,18 +1620,37 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
       cursor = match_end;
       continue;
     }
-    new_ml = l;
-    // Backward extension: grow the match into the preceding literal run
-    // (contiguous bytes [new_start - new_lit - pending_lit, new_start)),
-    // the standard zstd gain the forward-only device parse leaves behind.
+    // Backward extension reach: grow the match into the preceding
+    // literal run (contiguous bytes [new_start - new_lit - pending_lit,
+    // new_start)), the standard zstd gain the forward-only device parse
+    // leaves behind. Counted before the economics test so a short
+    // forward match that extends backward into a long one still passes.
     uint64_t total_lit = new_lit + pending_lit;
-    while (total_lit > 0 && new_start > 0 &&
-           new_start - 1 + ctx_len >= off &&
-           block[new_start - 1] == *(block + new_start - 1 - off)) {
-      --new_start;
-      --total_lit;
-      ++new_ml;
+    size_t bk = 0;
+    while (bk < total_lit && new_start - bk > 0 &&
+           new_start - bk - 1 + ctx_len >= off &&
+           block[new_start - bk - 1] == *(block + new_start - bk - 1 - off))
+      ++bk;
+    // Offset-aware economics (same model as the matchers' cost floor:
+    // a sequence costs ~10 + log2(offset) bits, literals ~5-6 bits/byte
+    // post-Huffman). The device cost filter applies this to CLAIMS, but
+    // verify-shrink and front-trimming re-create short matches here —
+    // measured 2700+ ml<=5 emissions per 2 MB vs stock's ~550, many at
+    // uneconomic offsets. Rep offsets bypass (their code is ~1-5 bits).
+    const size_t le = l + bk;
+    const bool rep_hit =
+        off == rep[0] || off == rep[1] || off == rep[2];
+    const bool worth =
+        rep_hit || le >= 5 || (le >= 4 && off <= 4096) ||
+        (le >= 3 && off <= 256);
+    if (!worth) {
+      pending_lit += new_lit + new_ml;
+      cursor = match_end;
+      continue;
     }
+    new_ml = l + bk;
+    new_start -= bk;
+    total_lit -= bk;
     lit_lens[out] = static_cast<uint32_t>(total_lit);
     offsets[out] = off;
     match_lens[out] = static_cast<uint32_t>(new_ml);
