@@ -14,8 +14,9 @@ accelerator. Design constraints and answers:
 * Encoding runs over sequences in reverse; per-block reversal of the code
   arrays is one small sort (sorting is this codec's scatter).
 * Bit emission: each step produces one state-bits item and one extras
-  item; ops/bitpack.py turns the item streams into the backward
-  bitstream with sorts/scans only.
+  item; ops/bitconcat.py turns the item streams into the backward
+  bitstream with a log-depth reduction (ops/bitpack.py remains the
+  sort-based differential oracle).
 * Always Predefined_Mode (mode byte 0): every code in range is encodable
   and no table descriptions are emitted — the same static-tables trade
   the QAT hardware makes (the reference configures static Huffman,
@@ -36,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..format import fse, tables
-from . import bitpack
+from . import bitconcat, bitpack
 
 # ---------------------------------------------------------------- tables
 
@@ -368,6 +369,8 @@ def encode_sequence_sections(lit_len: jnp.ndarray, offset: jnp.ndarray,
     items_hi = jnp.stack([jnp.zeros_like(state_lo), ex_hi],
                          axis=2).reshape(B, 2 * S1)
     items_nb = jnp.stack([state_nb, ex_nb], axis=2).reshape(B, 2 * S1)
-    words, bits, over = bitpack.bitpack(items_lo, items_hi, items_nb,
-                                        max_words)
+    # Log-depth reduction packer (see ops/bitconcat.py) — replaces the
+    # sort-based bitpack on the device-entropy path.
+    words, bits, over = bitconcat.bitconcat(items_lo, items_hi, items_nb,
+                                            max_words, max_item_bits=64)
     return words, bits, over, plan

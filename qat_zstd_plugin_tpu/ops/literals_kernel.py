@@ -13,8 +13,9 @@ Flow per batch, all shape-static:
 4. per-literal (code, nbits) items; destination index maps each literal
    to its 4-stream slot in *reversed* order (streams are written
    last-symbol-first); one more single-word sort is the scatter.
-5. ops/bitpack.py packs each stream row; the host wraps the section
-   (tree description via format/huffman.py serialize_tree + jump table).
+5. ops/bitconcat.py packs each stream row (log-depth reduction); the
+   host wraps the section (tree description via format/huffman.py
+   serialize_tree + jump table).
 
 The host keeps raw/RLE/small-block literals (device path opts out via
 the ok flag and the host encodes from block bytes as before).
@@ -30,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import bitpack, huffman_tables
+from . import bitconcat, bitpack, huffman_tables
 from .glue_kernels import _CP, _rows, _shl, _shr
 
 SENT = 0xFFFFFFFF  # sentinel key (python int: folds as immediate)
@@ -109,10 +110,15 @@ def byte_hist(sk: jnp.ndarray, interpret: bool | None = None
     def kernel(x_ref, out_ref):
         def body(i, acc):
             ch = x_ref[:, pl.ds(i * C, C)]
-            valid = ch != jnp.uint32(SENT)
-            byte = (ch & jnp.uint32(0xFF)).astype(jnp.int32)
+            # Validity folds into the byte value (empty -> 256, which
+            # matches no symbol): Mosaic only supports minor-dim
+            # insertion on 32-bit types, so the rank change happens on
+            # the int32 byte, never on an i1 mask.
+            byte = jnp.where(ch != jnp.uint32(SENT),
+                             (ch & jnp.uint32(0xFF)).astype(jnp.int32),
+                             jnp.int32(256))
             sym = jax.lax.broadcasted_iota(jnp.int32, (rows, C, 256), 2)
-            oh = (byte[:, :, None] == sym) & valid[:, :, None]
+            oh = byte[:, :, None] == sym
             return acc + oh.astype(jnp.int32).sum(axis=1)
 
         out_ref[...] = jax.lax.fori_loop(
@@ -148,12 +154,15 @@ def entry_lookup(sk: jnp.ndarray, entry: jnp.ndarray,
 
         def body(i, _):
             ch = x_ref[:, pl.ds(i * C, C)]
-            valid = ch != jnp.uint32(SENT)
-            byte = (ch & jnp.uint32(0xFF)).astype(jnp.int32)
+            # empty -> byte 256: matches no symbol, so the select sums
+            # to 0 without a separate validity mask (see byte_hist).
+            byte = jnp.where(ch != jnp.uint32(SENT),
+                             (ch & jnp.uint32(0xFF)).astype(jnp.int32),
+                             jnp.int32(256))
             sym = jax.lax.broadcasted_iota(jnp.int32, (rows, C, 256), 2)
             it = jnp.where(byte[:, :, None] == sym,
                            ent[:, None, :], 0).sum(axis=2)
-            out_ref[:, pl.ds(i * C, C)] = jnp.where(valid, it, 0)
+            out_ref[:, pl.ds(i * C, C)] = it
             return 0
 
         jax.lax.fori_loop(0, N // C, body, 0)
@@ -237,8 +246,10 @@ def encode_literals_device(blocks: jnp.ndarray, lengths: jnp.ndarray,
     packed = (s2 & jnp.uint32(0x7FFF)).astype(jnp.int32)
     lo = (packed & 0x7FF).reshape(B * 4, cap)
     nb = (packed >> 11).reshape(B * 4, cap)
-    words, bits, over = bitpack.bitpack(lo, jnp.zeros_like(lo), nb,
-                                        max_words)
+    # Log-depth reduction packer: the sort-based bitpack measured
+    # 10+ min to compile and ~25-35 ms/batch at this shape.
+    words, bits, over = bitconcat.bitconcat(lo, jnp.zeros_like(lo), nb,
+                                            max_words, max_item_bits=11)
     over_b = over.reshape(B, 4).any(axis=1)
     # Streams must fit the 16-bit jump table and the 4-stream layout
     # needs n >= 1024 (host handles small blocks anyway).
