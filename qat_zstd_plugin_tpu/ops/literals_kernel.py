@@ -137,50 +137,6 @@ def byte_hist(sk: jnp.ndarray, interpret: bool | None = None
     )(sk)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def entry_lookup(sk: jnp.ndarray, entry: jnp.ndarray,
-                 interpret: bool | None = None) -> jnp.ndarray:
-    """items[b, i] = entry[b, sk[b, i] & 0xFF] (0 where sk is the empty
-    sentinel) — the per-literal (code | nbits << 11) table lookup, done
-    chunkwise in VMEM for the same reason as byte_hist."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B, N = sk.shape
-    rows = _rows(B)
-    C = min(_chunk_for(N), 256)
-
-    def kernel(x_ref, e_ref, out_ref):
-        ent = e_ref[...]
-
-        def body(i, _):
-            ch = x_ref[:, pl.ds(i * C, C)]
-            # empty -> byte 256: matches no symbol, so the select sums
-            # to 0 without a separate validity mask (see byte_hist).
-            byte = jnp.where(ch != jnp.uint32(SENT),
-                             (ch & jnp.uint32(0xFF)).astype(jnp.int32),
-                             jnp.int32(256))
-            sym = jax.lax.broadcasted_iota(jnp.int32, (rows, C, 256), 2)
-            it = jnp.where(byte[:, :, None] == sym,
-                           ent[:, None, :], 0).sum(axis=2)
-            out_ref[:, pl.ds(i * C, C)] = it
-            return 0
-
-        jax.lax.fori_loop(0, N // C, body, 0)
-
-    spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(B // rows,),
-        in_specs=[spec, pl.BlockSpec((rows, 256), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM)],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, N), jnp.int32),
-        compiler_params=_CP,
-        interpret=interpret,
-    )(sk, entry)
-
-
 def encode_literals_device(blocks: jnp.ndarray, lengths: jnp.ndarray,
                            chosen: jnp.ndarray, mlen: jnp.ndarray,
                            max_words: int | None = None,
@@ -198,38 +154,64 @@ def encode_literals_device(blocks: jnp.ndarray, lengths: jnp.ndarray,
         max_words = (cap * 12) // 32 + 8  # 11-bit codes + slack
     keys = literal_keys(blocks, lengths, chosen, mlen,
                         interpret=interpret)
-    sk = jax.lax.sort((keys,), dimension=1, is_stable=False,
-                      num_keys=1)[0]
-    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
-    valid = sk != jnp.uint32(SENT)
+    valid = keys != jnp.uint32(SENT)
+    byte = (keys & jnp.uint32(0xFF)).astype(jnp.int32)
     n_lit = valid.sum(axis=1).astype(jnp.int32)
+    # Literal rank in position order needs no compaction sort: the keys
+    # come out of the kernel in position order, so rank = prefix count.
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
 
-    # Histogram + tables + per-literal code lookup: chunked Pallas
-    # kernels (the XLA formulation materializes (B, N, 256) one-hots).
-    hist = byte_hist(sk, interpret=interpret)
+    # Histogram + tables on device; the per-literal (code | nbits << 11)
+    # lookup is a SORTED JOIN: one single-word sort interleaves each
+    # block's 256 table rows (carrying their entry in the low bits)
+    # ahead of that byte's literals, and a hold-last scan propagates the
+    # entry to them. A chunked compare-reduce lookup measured 1.1-2.5 s
+    # per batch on v5e — the (N x 256) one-hot is the wrong shape for
+    # the VPU; the join costs one ~1.3 ms fast-path sort instead.
+    hist = byte_hist(keys, interpret=interpret)
     t = huffman_tables.build_tables(hist)
-    entry = t["codes"] | (t["nb_bits"] << 11)           # (B, 256)
-    items = entry_lookup(sk, entry, interpret=interpret)
+    entry = t["codes"] | (t["nb_bits"] << 11)           # (B, 256), <= 15b
+    elem_key = jnp.where(
+        valid,
+        (byte.astype(jnp.uint32) << 24) | jnp.uint32(1 << 22)
+        | rank.astype(jnp.uint32),
+        jnp.uint32(SENT))
+    tbl_key = ((jnp.arange(256, dtype=jnp.uint32)[None, :] << 24)
+               | entry.astype(jnp.uint32))
+    kb = jnp.concatenate([elem_key,
+                          jnp.broadcast_to(tbl_key, (B, 256))], axis=1)
+    sb = jax.lax.sort((kb,), dimension=1, is_stable=False, num_keys=1)[0]
+    is_tbl = (sb >> 22) & 1 == 0
+    payload = (sb & jnp.uint32(0x3FFFFF)).astype(jnp.int32)
+    ent, _ = bitpack._hold_last(jnp.where(is_tbl, payload, 0), is_tbl)
+    is_elem = ~is_tbl & (sb != jnp.uint32(SENT))
 
     # 4-stream destination with in-stream reversal (write order = last
-    # literal first). seg = ceil(n/4); stream s holds literal indices
+    # literal first). seg = ceil(n/4); stream s holds literal ranks
     # [s*seg, min((s+1)*seg, n)) at slots [s*cap, s*cap+len_s). The
     # scatter is a sort by destination, and a sort compacts ranks — so
-    # every slot must be OCCUPIED: non-literal elements are mapped onto
-    # the per-stream gap slots [s*cap+len_s, (s+1)*cap) in order, with
-    # zero-bit items (bitpack skips them).
+    # every slot must be OCCUPIED: the N - n_lit sentinel rows (they
+    # sort to the tail, after all table rows) are mapped onto the
+    # per-stream gap slots [s*cap+len_s, (s+1)*cap) in order, with
+    # zero-bit items (the packer skips them); the 256 table rows park at
+    # 0xFFFFFFFF, strictly above every slot key (dest << 15 | entry
+    # tops out at 0xFFFFDFFF since entry <= 0x5FFF), and fall off the
+    # [:N] slice.
     seg = jnp.maximum((n_lit + 3) // 4, 1)[:, None]
-    stream = jnp.minimum(idx // seg, 3)
-    within = idx - stream * seg
+    rk = payload                                    # element rank
+    stream = jnp.minimum(rk // seg, 3)
+    within = rk - stream * seg
     len_s = jnp.clip(n_lit[:, None] - stream * seg, 0, seg)
     rev = len_s - 1 - within
     dest_valid = stream * cap + rev
-    # Gap assignment for the (N - n_lit) non-literals.
+    # Gap assignment for the (N - n_lit) sentinel rows at the tail.
     lens4 = jnp.clip(n_lit[:, None] - jnp.arange(4)[None, :] * seg,
                      0, seg)                        # (B, 4)
     gaps = cap - lens4
     Gc = jnp.cumsum(gaps, axis=1) - gaps            # exclusive (B, 4)
-    fr = idx - n_lit[:, None]                       # fill rank >= 0
+    idxb = jnp.broadcast_to(
+        jnp.arange(N + 256, dtype=jnp.int32)[None, :], (B, N + 256))
+    fr = idxb - n_lit[:, None] - 256                # tail fill rank >= 0
     fs = ((fr >= Gc[:, 1:2]).astype(jnp.int32)
           + (fr >= Gc[:, 2:3]).astype(jnp.int32)
           + (fr >= Gc[:, 3:4]).astype(jnp.int32))
@@ -239,10 +221,13 @@ def encode_literals_device(blocks: jnp.ndarray, lengths: jnp.ndarray,
                                           Gc[:, 3:4])))
     len_sel = jnp.clip(n_lit[:, None] - fs * seg, 0, seg)
     dest_gap = fs * cap + len_sel + (fr - G_sel)
-    dest = jnp.where(valid, dest_valid, dest_gap).astype(jnp.uint32)
-    key2 = (dest << 15) | jnp.where(valid, items, 0).astype(jnp.uint32)
+    key2 = jnp.where(
+        is_elem,
+        (dest_valid.astype(jnp.uint32) << 15) | ent.astype(jnp.uint32),
+        jnp.where(is_tbl, jnp.uint32(0xFFFFFFFF),
+                  dest_gap.astype(jnp.uint32) << 15))
     s2 = jax.lax.sort((key2,), dimension=1, is_stable=False,
-                      num_keys=1)[0]
+                      num_keys=1)[0][:, :N]
     packed = (s2 & jnp.uint32(0x7FFF)).astype(jnp.int32)
     lo = (packed & 0x7FF).reshape(B * 4, cap)
     nb = (packed >> 11).reshape(B * 4, cap)
