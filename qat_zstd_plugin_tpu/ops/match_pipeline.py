@@ -523,13 +523,17 @@ def _segmented_sum(vals: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
 
 def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
             lengths: jnp.ndarray, max_seq: int, coalesce: bool = False,
-            window: int = 1 << 30):
+            window: int = 1 << 30, off_bits: int = 15):
     """Pack chosen matches into per-block sequence arrays (sort = scatter).
 
     coalesce=True merges chains of capped matches (zero-literal successors
     at the same offset) on device via segmented scans + one small sort —
     the device-side version of coalesce_sequences in the runtime, needed
     when the sequence section is also encoded on device.
+
+    off_bits sizes the (ml, off) payload packing in the segmented path:
+    15 fits window-local offsets (< 32768, ml <= 65535); the content+LDM
+    path passes 18 (offsets < 256 KiB, ml <= 16383 — callers clamp).
 
     Returns dict with lit_len/offset/match_len (B, max_seq) int32,
     nseq (B,), last_literals (B,), overflow (B,) bool.
@@ -552,9 +556,11 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
         lw = jnp.arange(window, dtype=jnp.int32)[None, :]
         ch = chosen.reshape(B * nseg, window)
         keyl = jnp.where(ch, jnp.broadcast_to(lw, ch.shape), BIG)
-        # (ml, off) packed into one word: ml <= 65535 (16b), off < window
-        # <= 32768 (15b). Global index reconstructs as keyl + seg_start.
-        pml = ((mlen.reshape(B * nseg, window) << 15)
+        # (ml, off) packed into one payload word (sizes per off_bits; the
+        # top bit may land in the sign — payload order is irrelevant to
+        # the sort and the unpack shifts logically). Global index
+        # reconstructs as keyl + seg_start.
+        pml = ((mlen.reshape(B * nseg, window) << off_bits)
                | moff.reshape(B * nseg, window))
         sk2, sp2 = jax.lax.sort((keyl, pml), dimension=1,
                                 is_stable=False, num_keys=1)
@@ -569,8 +575,10 @@ def compact(chosen: jnp.ndarray, mlen: jnp.ndarray, moff: jnp.ndarray,
         t2, p2 = jax.lax.sort((gkey, sp2), dimension=1,
                               is_stable=False, num_keys=1)
         t2 = t2[:, :max_seq]
-        l2 = p2[:, :max_seq] >> 15
-        o2 = p2[:, :max_seq] & ((1 << 15) - 1)
+        # Arithmetic shift + mask == logical shift (the packed top bit
+        # can sit in the sign).
+        l2 = (p2[:, :max_seq] >> off_bits) & ((1 << (32 - off_bits)) - 1)
+        o2 = p2[:, :max_seq] & ((1 << off_bits) - 1)
     else:
         key = jnp.where(chosen, idx, BIG)
         t2, l2, o2 = jax.lax.sort((key, mlen, moff), dimension=1,
@@ -717,12 +725,14 @@ def _pack_jit(out, max_seq):
 
 @functools.partial(jax.jit, static_argnames=("neighbors", "max_seq",
                                              "parser", "lazy", "stride",
-                                             "window", "matcher", "widths"))
+                                             "window", "matcher", "widths",
+                                             "ldm", "ldm_max_off"))
 def find_matches_fused(blocks, lengths, neighbors: int = 4,
                        max_seq: int = 16384, parser: str = "scan",
                        lazy: bool = False, stride: int = 1,
                        window: int = 1 << 30, matcher: str = "content",
-                       widths: tuple = (4, 8)):
+                       widths: tuple = (4, 8), ldm: int = 0,
+                       ldm_max_off: int = 1 << 18):
     """Whole pipeline + packing as ONE jit dispatch.
 
     The dev link charges ~50ms per dispatch RPC, so the staged variant's
@@ -732,7 +742,11 @@ def find_matches_fused(blocks, lengths, neighbors: int = 4,
 
     matcher="hash" takes the single-word-sort fast path (candidates_hash +
     compact_fast: quantized claim lengths, host-verified); "content"
-    carries content words through the sorts for exact LCP."""
+    carries content words through the sorts for exact LCP. ldm > 0 folds
+    minimizer long-distance candidates (offsets < min(ldm_max_off, 256K))
+    into the content candidate plane before the parse — the deep levels'
+    answer to stock zstd's multi-megabyte windows (their local window is
+    segment-bound at 32K)."""
     if matcher in ("hash", "hash_glue"):
         if matcher == "hash_glue":
             from . import glue_kernels
@@ -751,8 +765,19 @@ def find_matches_fused(blocks, lengths, neighbors: int = 4,
                                window)
     else:
         mlen, moff = candidates(blocks, lengths, neighbors, stride, window)
+        off_bits = 15
+        if ldm:
+            from . import glue_kernels
+            max_off = min(ldm_max_off, 1 << 18)  # 14b ml + 18b off packing
+            su_l = glue_kernels.ldm_unsorted(blocks, ldm, neighbors=1)
+            mlen, moff = glue_kernels.merge_ldm(
+                mlen, moff, su_l, lengths, ldm, local_cap=LCP_CAP,
+                max_off=max_off)
+            mlen = jnp.minimum(mlen, 16383)
+            off_bits = 18
         chosen = _parse(mlen, parser, lazy)
-        out = compact(chosen, mlen, moff, lengths, max_seq, window=window)
+        out = compact(chosen, mlen, moff, lengths, max_seq, window=window,
+                      off_bits=off_bits)
     return pack_outputs(out, max_seq)
 
 
@@ -760,10 +785,13 @@ def find_matches_packed(blocks, lengths, neighbors: int = 4,
                         max_seq: int = 16384, parser: str = "scan",
                         fused: bool | None = None, lazy: bool = False,
                         stride: int = 1, window: int = 1 << 30,
-                        matcher: str = "content", widths: tuple = (4, 8)):
+                        matcher: str = "content", widths: tuple = (4, 8),
+                        ldm: int = 0, ldm_max_off: int = 1 << 18):
     """Packed-result pipeline; fused single-dispatch on TPU by default."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
+    if ldm and blocks.shape[0] % ldm:
+        ldm = 0  # spans need whole block groups; partial batches skip LDM
     if matcher == "hash" and jax.default_backend() == "tpu":
         # Split-dispatch glue pipeline: Pallas kernels between standalone
         # fast-path sorts (see glue_kernels). The XLA formulation stays
@@ -772,11 +800,12 @@ def find_matches_packed(blocks, lengths, neighbors: int = 4,
         return glue_kernels.find_matches_hash_split(
             blocks, lengths, widths=tuple(widths), neighbors=neighbors,
             window=window, max_seq=max_seq, parser=parser, lazy=lazy)
-    if fused or matcher in ("hash", "hash_glue"):
+    if fused or matcher in ("hash", "hash_glue") or ldm:
         return find_matches_fused(blocks, lengths, neighbors=neighbors,
                                   max_seq=max_seq, parser=parser, lazy=lazy,
                                   stride=stride, window=window,
-                                  matcher=matcher, widths=tuple(widths))
+                                  matcher=matcher, widths=tuple(widths),
+                                  ldm=ldm, ldm_max_off=ldm_max_off)
     out = find_matches_staged(blocks, lengths, neighbors, max_seq, parser,
                               lazy, stride, window)
     return _pack_jit(out, max_seq)

@@ -79,14 +79,17 @@ TPU_LEVEL_TABLE = {
                       ldm=16, dense=True),
     4: TpuLevelParams(2, window=32768, matcher="hash",
                       widths=(4, 5, 6, 8), ldm=16, dense=True),
-    5: TpuLevelParams(4, lazy=True, window=32768),
-    6: TpuLevelParams(6, lazy=True, window=32768),
-    7: TpuLevelParams(6, lazy=True),
-    8: TpuLevelParams(8, lazy=True),
-    9: TpuLevelParams(8, lazy=True),
-    10: TpuLevelParams(10, lazy=True),
-    11: TpuLevelParams(12, lazy=True),
-    12: TpuLevelParams(16, lazy=True),
+    # Content levels carry minimizer LDM too (offsets to 256K compete in
+    # the parse) — their local window is segment-bound at 32K while
+    # stock's deep levels search multi-megabyte windows.
+    5: TpuLevelParams(4, lazy=True, window=32768, ldm=4),
+    6: TpuLevelParams(6, lazy=True, window=32768, ldm=4),
+    7: TpuLevelParams(6, lazy=True, ldm=4),
+    8: TpuLevelParams(8, lazy=True, ldm=4),
+    9: TpuLevelParams(8, lazy=True, ldm=4),
+    10: TpuLevelParams(10, lazy=True, ldm=4),
+    11: TpuLevelParams(12, lazy=True, ldm=4),
+    12: TpuLevelParams(16, lazy=True, ldm=4),
 }
 
 
@@ -225,13 +228,16 @@ class TpuCodec:
                         ldm_max_off=ldm_max_off,
                         dense=self.params.dense)
             else:
+                wlog = golden_codec.level_params(self.level).window_log
+
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_packed(
                         blocks, lengths, neighbors=self.params.neighbors,
                         max_seq=self.max_seq, parser=parser,
                         lazy=self.params.lazy, stride=self.params.stride,
                         window=self.params.window,
-                        matcher=self._matcher(), widths=self.params.widths)
+                        matcher=self._matcher(), widths=self.params.widths,
+                        ldm=self.params.ldm, ldm_max_off=1 << wlog)
 
             self._fn = run
         return self._fn
