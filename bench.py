@@ -96,6 +96,29 @@ def _chain_timer(run, fetch_scalar):
     return chain
 
 
+def _sample_mbs(chain, nbytes: int, k_samples: int,
+                span: int = 16) -> list[float]:
+    """Per-rep throughput samples from long-span chain differencing.
+
+    The chain endpoints each pay one relay RPC whose latency jitters by
+    hundreds of ms on a bad day; (t(1+span) - t(1)) / span divides that
+    endpoint jitter by `span`, where the old span-4 differencing let it
+    swamp the ~5 ms/rep signal (observed: samples spanning 85..2192 MB/s
+    in one capture). Non-positive diffs (jitter exceeding the span) are
+    retried rather than reported."""
+    samples: list[float] = []
+    retries = 0
+    while len(samples) < k_samples and retries < 3 * k_samples:
+        t1 = chain(1)
+        tn = chain(1 + span)
+        dt = (tn - t1) / span
+        if dt <= 0:
+            retries += 1
+            continue
+        samples.append(nbytes / dt / 1e6)
+    return samples or [0.0]
+
+
 def _median_spread(samples: list[float]) -> tuple[float, float]:
     med = float(np.median(samples))
     spread = (max(samples) - min(samples)) / med if med else 0.0
@@ -136,11 +159,7 @@ def main() -> None:
 
     chain = _chain_timer(run_dev, lambda out: out[0, 0])
     chain(1)  # compile + warm
-    samples = []
-    for _ in range(K_SAMPLES):
-        t1 = chain(1)
-        t5 = chain(5)
-        samples.append(B * BLOCK / ((t5 - t1) / 4) / 1e6)
+    samples = _sample_mbs(chain, B * BLOCK, K_SAMPLES)
     dev_mbs, dev_spread = _median_spread(samples)
 
     # --- device level ladder (L2/L4 at the same batch: wider hash
@@ -160,11 +179,7 @@ def main() -> None:
 
             ch = _chain_timer(run_lvl, lambda out: out[0, 0])
             ch(1)
-            ss = []
-            for _ in range(3):
-                t1 = ch(1)
-                t3 = ch(3)
-                ss.append(B * BLOCK / ((t3 - t1) / 2) / 1e6)
+            ss = _sample_mbs(ch, B * BLOCK, 3, span=8)
             ladder[f"L{lvl}"] = round(_median_spread(ss)[0], 1)
         except Exception as exc:
             print(f"ladder L{lvl} failed: {exc!r}", file=sys.stderr)
@@ -203,11 +218,7 @@ def main() -> None:
 
         de_chain = _chain_timer(run_de, lambda out: out[0][0, 0, 0])
         de_chain(1)
-        de_samples = []
-        for _ in range(3):
-            t1 = de_chain(1)
-            t3 = de_chain(3)
-            de_samples.append(B * BLOCK / ((t3 - t1) / 2) / 1e6)
+        de_samples = _sample_mbs(de_chain, B * BLOCK, 3, span=8)
         de_mbs = round(_median_spread(de_samples)[0], 1)
     except Exception as exc:  # keep the primary row alive
         print(f"device_entropy row failed: {exc!r}", file=sys.stderr)

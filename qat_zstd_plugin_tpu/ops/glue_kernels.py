@@ -178,17 +178,96 @@ def hash_keys_winmin(blocks: jnp.ndarray, width: int, window: int,
     )(blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("pbits", "neighbors",
+@functools.partial(jax.jit, static_argnames=("width", "window", "stride",
                                              "interpret"))
+def hash_keys_winmin_sync(blocks: jnp.ndarray, width: int, window: int,
+                          stride: int, interpret: bool | None = None):
+    """hash_keys_winmin + pair-syncmer anchor selection in one kernel.
+
+    Full-resolution anchoring sorts one key per byte; this selects one
+    anchor per byte PAIR — the member whose 8-byte-gram hash is smaller
+    (a winnowing/minimizer selection, the same content-determined rule
+    the LDM sampler uses at stride 32+). Matching content picks the same
+    member regardless of where the pair grid falls on it, so repeats at
+    ANY offset — odd included — still collide in the sort. (Fixed-grid
+    stride-2 sampling was measured at 1.25x stock ratio precisely
+    because even-positioned anchors can only discover even offsets.)
+    Both dominant sort volumes halve.
+
+    Returns ((B*nseg, w/2) pair-selection keys — the even lanes of the
+    kernel's full-width output, sliced inside this jit so the extraction
+    shares the dispatch —, (B, N) windowed-minimizer plane for the LDM
+    head). Even lane 2p holds (hash6(sel) << pbits | sel) with sel in
+    {2p, 2p+1} chosen by the h8 compare; odd lanes are junk the slice
+    drops (Mosaic cannot lane-decimate in-kernel, so the kernel writes
+    full width)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    hbits = 32 - pbits
+    rows = _rows(B)
+    nseg = N // w
+    assert stride & (stride - 1) == 0
+
+    def kernel(x_ref, key_ref, min_ref):
+        x = x_ref[...].astype(jnp.uint32)
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        h = _hash_tile(x, width, N, hbits, gp)
+        h8 = _hash_tile(x, 8, N, 32, gp)
+        # Pair-syncmer selection: at even lane i, pick i+1 when its
+        # 8-byte-gram hash is strictly smaller (fill 0xFFFFFFFF keeps
+        # the last lane self-selecting).
+        h8n = _shl(h8, 1, jnp.uint32(0xFFFFFFFF), gp)
+        hn = _shl(h, 1, jnp.uint32(0), gp)
+        pick_next = h8n < h8
+        pos = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
+            & jnp.uint32(w - 1)
+        selh = jnp.where(pick_next, hn, h)
+        selp = jnp.where(pick_next, pos + 1, pos)
+        key_ref[...] = ((selh << pbits) | selp).reshape(rows * nseg, w)
+        # LDM minimizer plane (shares the h8 gram read).
+        m = (h8 ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+        s = 1
+        while s < stride:
+            m = jnp.minimum(m, _shl(m, s, jnp.int32(0x7FFFFFFF), gp))
+            s *= 2
+        min_ref[...] = m.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+
+    key_full, minz = pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((rows, N), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32),
+                   jax.ShapeDtypeStruct((B, N), jnp.uint32)],
+        compiler_params=_CP,
+        interpret=interpret,
+    )(blocks)
+    return key_full[:, ::2], minz
+
+
+@functools.partial(jax.jit, static_argnames=("pbits", "neighbors",
+                                             "pos_mask", "interpret"))
 def neighbor_unsort_keys(sk: jnp.ndarray, pbits: int, neighbors: int = 1,
+                         pos_mask: int | None = None,
                          interpret: bool | None = None) -> jnp.ndarray:
     """Sorted keys (R, w) -> un-sort keys (pos << hbits | offset): the
-    nearest previous equal-hash entry claims offset pos - prev."""
+    nearest previous equal-hash entry claims offset pos - prev.
+
+    pos_mask overrides the position-field mask when the row holds fewer
+    entries than position values (the syncmer rows carry one entry per
+    byte PAIR, so w/2 entries span w positions)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     R, w = sk.shape
     hbits = 32 - pbits
-    pmask = w - 1  # python int: folded as an immediate
+    pmask = pos_mask if pos_mask is not None else w - 1  # immediate
     rows = _rows(R)
 
     def kernel(sk_ref, out_ref):
@@ -1067,12 +1146,159 @@ def compact_slots_dense(mlen: jnp.ndarray, moff: jnp.ndarray, window: int,
     )(*ins)
 
 
+@functools.partial(jax.jit, static_argnames=("window", "width",
+                                             "span_blocks", "local_cap",
+                                             "max_off", "interpret"))
+def compact_slots_sync(su: jnp.ndarray, window: int, lengths: jnp.ndarray,
+                       width: int = 6, su_ldm: jnp.ndarray | None = None,
+                       span_blocks: int = 0, local_cap: int = 24,
+                       max_off: int = 1 << 19,
+                       interpret: bool | None = None):
+    """Pair-claim slot compaction for the syncmer pipeline: ONE program
+    from the position-ordered pair keys to the (B*nseg, w/4) slot words
+    (the same contract compact_slots_dense emits, so the host unpack and
+    extension walk are untouched).
+
+    su: (B*nseg, w/2) u32, entry j = (pos << 17 | off) for pair j
+    (positions strictly increase pairwise, so sorted order IS pair
+    order). Out slot i covers pairs 2i and 2i+1; the smaller-k claim
+    wins the subslot, matching the dense kernel's priority. The
+    finalize-stage tail guard (pos + width <= block_len) moves here; at
+    L1's single width-6 / 32K window the dense cost filter is vacuous
+    (mlen>=6 & off<=32768 holds for every hash hit), so no filter
+    semantics are lost — the host economics walk is the filter."""
+    from .match_pipeline import MIN_MATCH  # noqa: F401  (contract doc)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = lengths.shape[0]
+    R, w2 = su.shape
+    nseg = R // B
+    w = w2 * 2
+    N = nseg * w
+    Ns = N // 4
+    ws = w // 4
+    rows = _rows(B)
+    pbits = (w - 1).bit_length()
+    offbits = 32 - pbits
+    has_ldm = su_ldm is not None
+    if has_ldm:
+        est_b, off_b = _ldm_est(su_ldm, lengths, N, span_blocks, max_off)
+        spb = est_b.shape[1]
+        sls = Ns // spb
+
+        def up_slot(x):  # sample grid -> slot grid (zeros off-grid)
+            z = jnp.zeros((B, spb, sls - 1), x.dtype)
+            return jnp.concatenate([x[:, :, None], z], axis=2) \
+                .reshape(B, Ns)
+
+        est_s = up_slot(est_b)
+        off_s = up_slot(off_b)
+
+    su_blk = su.reshape(B, N // 2)  # contiguous: segments tile the block
+    sue = su_blk[:, 0::2]           # pairs 2i   (positions 4i..4i+1)
+    suo = su_blk[:, 1::2]           # pairs 2i+1 (positions 4i+2..4i+3)
+
+    def kernel(*refs):
+        e_ref, o_ref, len_ref = refs[0], refs[1], refs[2]
+        blen = len_ref[...][:, :1]
+        gp4 = jax.lax.broadcasted_iota(jnp.int32, (rows, Ns), 1)
+        segbase = (gp4 >> (pbits - 2)) << pbits  # (slot // ws) * w
+        sign = jnp.int32(-0x80000000)
+        empty = jnp.int32(0x7FFFFFFF)
+        best = jnp.full((rows, Ns), empty)
+        for src_ref in (e_ref, o_ref):
+            s = src_ref[...]
+            posf = (s >> offbits).astype(jnp.int32)
+            off = (s & jnp.uint32((1 << offbits) - 1)).astype(jnp.int32)
+            k = posf & 3
+            gpos = segbase + posf
+            valid = (off > 0) & (gpos + width <= blen)
+            keyk = ((k << 30) | off) ^ sign
+            best = jnp.minimum(best, jnp.where(valid, keyk, empty))
+        if has_ldm:
+            est = refs[3][...]
+            ldo = refs[4][...]
+            # merge_ldm's take rule with the syncmer local estimate
+            # (width where a local claim exists, else 0).
+            ml0 = jnp.where(best != empty, jnp.int32(width), 0)
+            take = (est > ml0) & ((ml0 < jnp.int32(local_cap))
+                                  | (est >= 128))
+            best = jnp.where(take, ldo ^ sign, best)
+        out = (best ^ sign).astype(jnp.uint32)
+        refs[-1][...] = out.reshape(rows * nseg, ws)
+
+    spec = pl.BlockSpec((rows, Ns), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    ins = [sue, suo, lengths.reshape(B, 1).astype(jnp.int32)] \
+        + ([est_s, off_s] if has_ldm else [])
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[spec, spec, len_spec] + [spec] * (2 if has_ldm else 0),
+        out_specs=pl.BlockSpec((rows * nseg, ws), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * nseg, ws), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(*ins)
+
+
+@functools.partial(jax.jit, static_argnames=("widths", "window",
+                                             "span_blocks", "local_cap",
+                                             "max_off", "interpret"))
+def _dense_tail_fused(sus: tuple, blocks, lengths, minz, widths: tuple,
+                      window: int, span_blocks: int, local_cap: int,
+                      max_off: int, interpret: bool | None = None):
+    """finalize + LDM chain + slot compaction as ONE program.
+
+    On the tunneled dev relay each program dispatch costs ~0.5 ms
+    (measured: a trivial 128-byte bump and a 32 MB elementwise pass both
+    clock ~0.5-0.6 ms/program), so the split-dispatch pipeline is
+    dispatch-rate-bound, not element-bound. Only the two big sorts need
+    standalone programs (XLA's single-operand sort fast path dies when
+    compiled with producers); everything downstream of the second sort —
+    finalize kernel, the whole LDM subchain (keys/sort/neighbor/sort:
+    its 0.5 M-element sorts don't need the fast path), and the dense
+    compaction — fuses into one dispatch. 10 -> 5 programs per batch."""
+    mlen, moff = finalize_candidates(sus, blocks, lengths, widths,
+                                     window, 2, interpret=interpret)
+    su_l = None
+    if span_blocks:
+        su_l = ldm_unsorted(blocks, span_blocks, neighbors=1,
+                            interpret=interpret, minz=minz)
+    return compact_slots_dense(
+        mlen, moff, window, su=su_l, lengths=lengths,
+        span_blocks=span_blocks, local_cap=local_cap, max_off=max_off,
+        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "window",
+                                             "span_blocks", "local_cap",
+                                             "max_off", "interpret"))
+def _sync_tail_fused(su, blocks, lengths, minz, width: int, window: int,
+                     span_blocks: int, local_cap: int, max_off: int,
+                     interpret: bool | None = None):
+    """LDM chain + pair-claim compaction as ONE program (see
+    _dense_tail_fused for the dispatch-cost rationale)."""
+    su_l = None
+    if span_blocks:
+        su_l = ldm_unsorted(blocks, span_blocks, neighbors=1,
+                            interpret=interpret, minz=minz)
+    return compact_slots_sync(
+        su, window, lengths, width=width, su_ldm=su_l,
+        span_blocks=span_blocks, local_cap=local_cap, max_off=max_off,
+        interpret=interpret)
+
+
 def find_matches_positions(blocks, lengths, widths=(6,),
                            neighbors: int = 1, window: int = 32768,
                            max_seq: int = 16384, parser: str = "pallas",
                            lazy: bool = False, psegs: int = 1,
                            ldm: int = 0, ldm_max_off: int = 1 << 19,
-                           dense: bool = False,
+                           dense: bool = False, sync: bool = False,
                            interpret: bool | None = None):
     """Hash-matcher pipeline with the segment-slots device->host contract.
 
@@ -1105,6 +1331,28 @@ def find_matches_positions(blocks, lengths, widths=(6,),
     """
     from .match_pipeline import MIN_MATCH, _parse
 
+    if sync:
+        # Syncmer speed point: pair-sampled anchors (one key per byte
+        # pair, content-selected) halve both dominant sorts; the fused
+        # head shares the h8 gram read between the pair selector and the
+        # LDM minimizer plane, and the fused tail compacts pair claims +
+        # LDM in one program. Single-width dense only (the host
+        # extension walk is the parse and the economics filter).
+        assert dense and len(widths) == 1, "sync implies single-width dense"
+        B, N = blocks.shape
+        w = min(window, N)
+        pbits = (w - 1).bit_length()
+        stride = ldm_stride(ldm, N) if ldm else 32
+        key, minz = hash_keys_winmin_sync(blocks, widths[0], window,
+                                          stride, interpret=interpret)
+        su = _sort_rows(neighbor_unsort_keys(
+            _sort_rows(key), pbits, neighbors, pos_mask=w - 1,
+            interpret=interpret))
+        return _sync_tail_fused(
+            su, blocks, lengths, minz, width=widths[0], window=window,
+            span_blocks=ldm, local_cap=4 * max(widths),
+            max_off=ldm_max_off, interpret=interpret)
+
     if dense and ldm:
         # LDM head fused into the first width's key build (one read of
         # the block bytes feeds both hash planes), LDM tail fused into
@@ -1123,15 +1371,10 @@ def find_matches_positions(blocks, lengths, widths=(6,),
                 key = hash_keys(blocks, width, window, interpret=interpret)
             sus.append(_sort_rows(neighbor_unsort_keys(
                 _sort_rows(key), pbits, neighbors, interpret=interpret)))
-        mlen, moff = finalize_candidates(tuple(sus), blocks, lengths,
-                                         tuple(widths), window, 2,
-                                         interpret=interpret)
-        su_l = ldm_unsorted(blocks, ldm, neighbors=1, interpret=interpret,
-                            minz=minz)
-        return compact_slots_dense(
-            mlen, moff, window, su=su_l, lengths=lengths, span_blocks=ldm,
-            local_cap=4 * max(widths), max_off=ldm_max_off,
-            interpret=interpret)
+        return _dense_tail_fused(
+            tuple(sus), blocks, lengths, minz, tuple(widths), window,
+            span_blocks=ldm, local_cap=4 * max(widths),
+            max_off=ldm_max_off, interpret=interpret)
     mlen, moff = candidates_hash_split(blocks, lengths, widths=widths,
                                        neighbors=neighbors, window=window,
                                        interpret=interpret)

@@ -878,12 +878,14 @@ def find_matches_positions(blocks, lengths, widths=(6,), neighbors: int = 1,
                            parser: str | None = None, lazy: bool = False,
                            psegs: int = 1, ldm: int = 0,
                            ldm_max_off: int = 1 << 19,
-                           dense: bool = False):
+                           dense: bool = False, sync: bool = False):
     """Hash-matcher pipeline, segment-slots device->host contract (see
     glue_kernels.find_matches_positions). Works on every backend (Pallas
     interpret mode off-TPU); the production fast-level path. ldm > 0
     adds long-distance candidates over ldm-block spans; dense=True claims
-    every candidate slot and lets the host extension walk parse."""
+    every candidate slot and lets the host extension walk parse;
+    sync=True pair-samples anchors content-determined (half the sort
+    volume, the fastest speed point)."""
     import jax
     from . import glue_kernels
     if parser is None:
@@ -893,7 +895,8 @@ def find_matches_positions(blocks, lengths, widths=(6,), neighbors: int = 1,
     return glue_kernels.find_matches_positions(
         blocks, lengths, widths=tuple(widths), neighbors=neighbors,
         window=window, max_seq=max_seq, parser=parser, lazy=lazy,
-        psegs=psegs, ldm=ldm, ldm_max_off=ldm_max_off, dense=dense)
+        psegs=psegs, ldm=ldm, ldm_max_off=ldm_max_off, dense=dense,
+        sync=sync)
 
 
 def unpack_segments(slot_keys: np.ndarray, nblocks: int, window: int

@@ -65,6 +65,11 @@ class TpuLevelParams:
     # and let the host extension walk (true bytes) parse. Better ratio
     # than the est-greedy device parse and one fewer pipeline stage.
     dense: bool = False
+    # Syncmer anchors: sample one anchor per byte pair, selected by the
+    # smaller 8-byte-gram hash (content-determined, so any-parity offsets
+    # stay discoverable). Halves the dominant sort volume — the fastest
+    # speed point (glue_kernels.hash_keys_winmin_sync).
+    sync: bool = False
 
 
 # Fast levels ride the hash matcher (XLA's single-operand sort fast path,
@@ -226,7 +231,7 @@ class TpuCodec:
                         parser=parser, lazy=self.params.lazy,
                         psegs=self.params.psegs, ldm=self.params.ldm,
                         ldm_max_off=ldm_max_off,
-                        dense=self.params.dense)
+                        dense=self.params.dense, sync=self.params.sync)
             else:
                 wlog = golden_codec.level_params(self.level).window_log
 
