@@ -64,6 +64,7 @@ def sharded_pipeline(mesh: Mesh, neighbors: int = 4, max_seq: int = 16384,
 
 def sharded_positions_step(mesh: Mesh, widths: tuple = (6,),
                            window: int = 32768, ldm: int = 4,
+                           sync: bool = True,
                            interpret: bool | None = None):
     """The production fast-level pipeline (hash matcher + minimizer LDM +
     dense slot contract, glue_kernels.find_matches_positions) sharded
@@ -83,7 +84,7 @@ def sharded_positions_step(mesh: Mesh, widths: tuple = (6,),
     def local(blocks, lengths):
         return glue_kernels.find_matches_positions(
             blocks, lengths, widths=widths, window=window,
-            ldm=ldm, dense=True, interpret=interpret)
+            ldm=ldm, dense=True, sync=sync, interpret=interpret)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(AXIS, None), P(AXIS)),
                    out_specs=P(AXIS, None), check_rep=False)

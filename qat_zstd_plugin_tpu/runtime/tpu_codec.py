@@ -74,14 +74,17 @@ class TpuLevelParams:
 
 # Fast levels ride the hash matcher (XLA's single-operand sort fast path,
 # ~8x cheaper per sort); higher levels keep exact-LCP content sorts with
-# progressively wider windows.
+# progressively wider windows. L1 is the syncmer speed point (pair-
+# sampled anchors, half the sort volume — the throughput analog of the
+# QAT DC engine's L1 rating); L2 keeps full-resolution anchors at the
+# same width for ~1% better ratio at ~55% of the speed.
 TPU_LEVEL_TABLE = {
     1: TpuLevelParams(1, window=32768, matcher="hash", widths=(6,),
+                      ldm=4, dense=True, sync=True),
+    2: TpuLevelParams(1, window=32768, matcher="hash", widths=(6,),
                       ldm=4, dense=True),
-    2: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8),
+    3: TpuLevelParams(1, window=32768, matcher="hash", widths=(5, 8),
                       ldm=8, dense=True),
-    3: TpuLevelParams(2, window=32768, matcher="hash", widths=(4, 5, 8),
-                      ldm=16, dense=True),
     4: TpuLevelParams(2, window=32768, matcher="hash",
                       widths=(4, 5, 6, 8), ldm=16, dense=True),
     # Content levels carry minimizer LDM too (offsets to 256K compete in

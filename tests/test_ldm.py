@@ -114,7 +114,9 @@ def test_dense_claims_beat_parse_claims_on_ratio():
     base = TPU_LEVEL_TABLE[1]
     ratios = {}
     for dense in (False, True):
-        p = dataclasses.replace(base, dense=dense,
+        # sync=False: this test compares the device parse against dense
+        # claims at full anchor resolution (sync implies dense).
+        p = dataclasses.replace(base, dense=dense, sync=False,
                                 psegs=1 if dense else 4)
         TPU_LEVEL_TABLE[1] = p
         try:

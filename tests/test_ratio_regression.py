@@ -34,26 +34,28 @@ def _ratio(codec, data):
 
 
 def test_device_path_l1_ratio(corpus):
-    # L1 rides the hash matcher (quantized claims, host-verified) plus
-    # minimizer LDM; measured 0.2745 on this corpus.
+    # L1 is the syncmer speed point (pair-sampled anchors, half the sort
+    # volume) plus minimizer LDM; measured 0.2809 on this corpus.
     r = _ratio(TpuCodec(level=1, batch=4, use_device=True), corpus)
-    assert r < 0.280, r
+    assert r < 0.287, r
 
 
 def test_device_path_l3_ratio(corpus):
     r = _ratio(TpuCodec(level=3, batch=4, use_device=True), corpus)
-    assert r < 0.272, r
+    assert r < 0.270, r
 
 
 def test_device_vs_stock_per_level(corpus):
     """Per-level parity gate vs stock zstd (BASELINE.md) for the device
     pipeline. Device LDM (minimizer sampling over span context) closed
     the cross-block redundancy hole, and package-merge Huffman lengths
-    (optimal length-limited) recovered ~0.5% more: L2-L4 BEAT stock
-    outright and L1 is within ~0.8% (measured r3: L1 1.0076x,
-    L2 <= 0.973x, L4 <= 0.977x, L5 <= 0.996x, L9 ~1.003x)."""
-    for lvl, bound in ((1, 1.015), (2, 1.0), (4, 1.0), (5, 1.0),
-                       (9, 1.01)):
+    (optimal length-limited) recovered ~0.5% more. The r3 ladder: L1 =
+    syncmer speed point (measured 1.036x stock — the ~3.4 GB/s point),
+    L2 = full-resolution anchors (1.0007x), L3-L4 BEAT stock (0.984x,
+    0.971x), L5 <= 0.996x, L9 ~1.003x. Ratios are monotone down the
+    ladder (the zstd level contract)."""
+    for lvl, bound in ((1, 1.05), (2, 1.015), (3, 1.0), (4, 1.0),
+                       (5, 1.0), (9, 1.01)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
         assert ours <= stock * bound, (lvl, ours, stock)
