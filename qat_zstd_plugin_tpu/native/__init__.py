@@ -75,7 +75,8 @@ def _load():
     lib.qz_fill_gaps.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
-        ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
     lib.qz_compress_blocks_mt.restype = None
     lib.qz_compress_blocks_mt.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
@@ -229,10 +230,13 @@ def extend_sequences(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
 
 def fill_gaps(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
               ml: np.ndarray, last_literals: int, ctx_len: int = 0,
-              chain_depth: int = 8, mml: int = 6, min_gap: int = 32):
+              chain_depth: int = 8, mml: int = 6, min_gap: int = 32,
+              relaxed: bool = False):
     """Re-match long literal runs against the cross-block window context
     (see qz_fill_gaps). `block` = ctx_len context bytes + the block.
-    Returns (lit, off, ml, last_literals)."""
+    relaxed=True swaps in the extension walk's cost model (for the
+    syncmer device path, whose gaps hold genuinely unseen short
+    matches). Returns (lit, off, ml, last_literals)."""
     lib = _load()
     assert lib is not None
     block = np.ascontiguousarray(block, np.uint8)
@@ -248,7 +252,7 @@ def fill_gaps(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
     new_n = lib.qz_fill_gaps(
         block.ctypes.data, ctx_len, n, ll.ctypes.data, of.ctypes.data,
         mm.ctypes.data, len(lit), ctypes.byref(lastlit), cap, chain_depth,
-        mml, min_gap)
+        mml, min_gap, int(relaxed))
     if new_n == ctypes.c_size_t(-1).value:
         return (np.asarray(lit), np.asarray(off), np.asarray(ml),
                 last_literals)  # overflow: keep the original parse

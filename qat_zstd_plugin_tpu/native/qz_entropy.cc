@@ -1387,7 +1387,7 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
                     uint32_t* lit_lens, uint32_t* offsets,
                     uint32_t* match_lens, size_t nseq,
                     uint32_t* last_literals, size_t cap, int chain_depth,
-                    int mml, int min_gap) {
+                    int mml, int min_gap, int relaxed) {
   if (n < 8) return nseq;
   const size_t total = ctx_len + n;
   if (min_gap < 4) min_gap = 4;
@@ -1445,10 +1445,19 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
     // Stricter economics than the primary matcher: a gap match also
     // perturbs the established LL/ML/OF code distributions and the rep
     // chain, so it must clearly pay — near matches at the level's mml,
-    // mid-range from 8 bytes, far (cross-block) from 12.
-    bool worth = (best >= 12)
-                 || (best >= 8 && boff <= 65536)
-                 || (best >= static_cast<size_t>(mml) && boff <= 1024);
+    // mid-range from 8 bytes, far (cross-block) from 12. The syncmer
+    // speed point (pair-sampled device anchors) leaves SHORT local
+    // matches in its gaps by construction, so it passes relaxed=1 and
+    // gets the extension walk's cost model instead (the gaps there are
+    // genuinely unmatched bytes, not strategically skipped ones).
+    bool worth;
+    if (relaxed) {
+      worth = (best >= 8) || (best >= 6 && boff <= 32768) ||
+              (best >= 5 && boff <= 4096) || (best >= 4 && boff <= 256);
+    } else {
+      worth = (best >= 12) || (best >= 8 && boff <= 65536) ||
+              (best >= static_cast<size_t>(mml) && boff <= 1024);
+    }
     if (!worth) return 0;
     *off = boff;
     return best;

@@ -35,7 +35,8 @@ size_t qz_extend_sequences(const uint8_t*, size_t, size_t, uint32_t*,
                            uint32_t*, uint32_t*, size_t, uint32_t*,
                            size_t);
 size_t qz_fill_gaps(const uint8_t*, size_t, size_t, uint32_t*, uint32_t*,
-                    uint32_t*, size_t, uint32_t*, size_t, int, int, int);
+                    uint32_t*, size_t, uint32_t*, size_t, int, int, int,
+                    int);
 size_t qz_block_body(const uint8_t*, size_t, const uint32_t*,
                      const uint32_t*, const uint32_t*, size_t, uint32_t,
                      int, int, uint8_t*, size_t);
@@ -203,7 +204,7 @@ static bool target_extend(const uint8_t* data, size_t n) {
   ll.resize(cap); of.resize(cap); ml.resize(cap);
   size_t n2 = qz_fill_gaps(blk, 0, blk_len, ll.data(), of.data(),
                            ml.data(), ns, &last, cap, q.chain_depth,
-                           q.mml, 4);
+                           q.mml, 4, q.mml & 1);  // both economics modes
   if (n2 == static_cast<size_t>(-1)) n2 = ns;
   std::vector<uint8_t> body(blk_len + 1024);
   size_t bl = qz_block_body(blk, blk_len, ll.data(), of.data(), ml.data(),

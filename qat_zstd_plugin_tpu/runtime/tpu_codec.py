@@ -470,10 +470,15 @@ class TpuCodec:
                 # (stock zstd's streaming-matcher advantage, recovered
                 # host-side at gap-bytes-only cost). It discovers offsets
                 # (up to ctx + pos), so it gets the find-safe context.
+                # Syncmer levels pair-sample anchors, so their gaps hold
+                # genuinely undiscovered SHORT matches too: scan every
+                # gap (min_gap=4) under the extension walk's economics.
                 ll, of, ml, lastlit = native.fill_gaps(
                     cblk[ctx - ctx_find:], ll, of, ml, lastlit,
                     ctx_len=ctx_find,
-                    chain_depth=gp.chain_depth, mml=gp.mml)
+                    chain_depth=gp.chain_depth, mml=gp.mml,
+                    min_gap=4 if self.params.sync else 32,
+                    relaxed=self.params.sync)
                 seqs = BlockSequences(ll, of, ml, lastlit)
             if seqs is None:
                 if use_native:

@@ -35,9 +35,10 @@ def _ratio(codec, data):
 
 def test_device_path_l1_ratio(corpus):
     # L1 is the syncmer speed point (pair-sampled anchors, half the sort
-    # volume) plus minimizer LDM; measured 0.2809 on this corpus.
+    # volume) plus minimizer LDM plus relaxed host gap-fill (the gaps
+    # hold genuinely unseen short matches); measured 0.2759.
     r = _ratio(TpuCodec(level=1, batch=4, use_device=True), corpus)
-    assert r < 0.287, r
+    assert r < 0.282, r
 
 
 def test_device_path_l3_ratio(corpus):
@@ -50,11 +51,12 @@ def test_device_vs_stock_per_level(corpus):
     pipeline. Device LDM (minimizer sampling over span context) closed
     the cross-block redundancy hole, and package-merge Huffman lengths
     (optimal length-limited) recovered ~0.5% more. The r3 ladder: L1 =
-    syncmer speed point (measured 1.036x stock — the ~3.4 GB/s point),
+    syncmer speed point (measured 1.0175x stock after relaxed gap-fill
+    — the ~3.4 GB/s point),
     L2 = full-resolution anchors (1.0007x), L3-L4 BEAT stock (0.984x,
     0.971x), L5 <= 0.996x, L9 ~1.003x. Ratios are monotone down the
     ladder (the zstd level contract)."""
-    for lvl, bound in ((1, 1.05), (2, 1.015), (3, 1.0), (4, 1.0),
+    for lvl, bound in ((1, 1.03), (2, 1.015), (3, 1.0), (4, 1.0),
                        (5, 1.0), (9, 1.01)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
