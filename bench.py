@@ -100,26 +100,31 @@ def _chain_timer(run, fetch_scalar):
 
 def _sample_mbs(chain, nbytes: int, k_samples: int,
                 span: int = 16) -> list[float]:
-    """Per-rep throughput samples from long-span chain differencing.
+    """Per-rep throughput samples, one Theil-Sen slope per round.
 
     The chain endpoints each pay one relay RPC whose latency jitters by
-    hundreds of ms on a bad day; (t(1+span) - t(1)) / span divides that
-    endpoint jitter by `span`, where the old span-4 differencing let it
-    swamp the ~5 ms/rep signal (observed: samples spanning 85..2192 MB/s
-    in one capture). Non-positive diffs (jitter exceeding the span) are
-    retried rather than reported."""
+    hundreds of ms on a bad day. Each round times chains of k in
+    {1, span/3, 2span/3, span} reps and takes the MEDIAN of all pairwise
+    slopes (Theil-Sen): a single jittered endpoint corrupts only the
+    pairs it touches, where plain two-point differencing let it swamp
+    the ~5 ms/rep signal (observed: samples spanning 85..2192 MB/s in
+    one capture). Non-positive slopes (jitter exceeding the span) retry.
+    The first round after warmup routinely reads low (relay queue
+    drain); it is measured and discarded."""
+    ks = sorted({1, max(2, 1 + span // 3), max(3, 1 + 2 * span // 3),
+                 1 + span})
     samples: list[float] = []
     retries = 0
-    # +1: the first sample after warmup routinely reads low (relay queue
-    # drain); it is measured and discarded.
     while len(samples) < k_samples + 1 and retries < 3 * k_samples:
-        t1 = chain(1)
-        tn = chain(1 + span)
-        dt = (tn - t1) / span
-        if dt <= 0:
+        pts = [(k, chain(k)) for k in ks]
+        slopes = [(t2 - t1) / (k2 - k1)
+                  for i, (k1, t1) in enumerate(pts)
+                  for (k2, t2) in pts[i + 1:]]
+        slope = float(np.median(slopes))
+        if slope <= 0:
             retries += 1
             continue
-        samples.append(nbytes / dt / 1e6)
+        samples.append(nbytes / slope / 1e6)
     return samples[1:] or samples or [0.0]
 
 
