@@ -252,6 +252,213 @@ def hash_keys_winmin_sync(blocks: jnp.ndarray, width: int, window: int,
     return key_full[:, ::2], minz
 
 
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def gram_pos_planes(blocks: jnp.ndarray, window: int,
+                    interpret: bool | None = None):
+    """(B, N) uint8 -> ((B*nseg, w) 4-byte grams, (B*nseg, w) positions).
+
+    The verified-matcher head (device-entropy hash path): sorting by the
+    RAW GRAM (lexicographic (gram, pos), no hash) groups equal grams
+    exactly, so the neighbor pass's equality is TRUE byte equality —
+    every emitted candidate is a real >= 4-byte match, like the content
+    matcher but with one carried word instead of four."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    w = min(window, N)
+    rows = _rows(B)
+    nseg = N // w
+
+    def kernel(x_ref, g_ref, p_ref):
+        x = x_ref[...].astype(jnp.uint32)
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        x1 = _shl(x, 1, jnp.uint32(0), gp)
+        x2 = _shl(x, 2, jnp.uint32(0), gp)
+        x3 = _shl(x, 3, jnp.uint32(0), gp)
+        g_ref[...] = ((x << 24) | (x1 << 16) | (x2 << 8) | x3) \
+            .reshape(rows * nseg, w)
+        pos = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
+            & jnp.uint32(w - 1)
+        p_ref[...] = pos.reshape(rows * nseg, w)
+
+    seg = pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[seg, seg],
+        out_shape=[jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32)] * 2,
+        compiler_params=_CP,
+        interpret=interpret,
+    )(blocks)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _sort_rows2(g, pos):
+    """Lexicographic (gram, pos) row sort as its own dispatch.
+    Multi-key sorts never get XLA's single-operand fast path, but the
+    verified matcher needs exact gram grouping exactly once."""
+    return jax.lax.sort((g, pos), dimension=1, is_stable=False,
+                        num_keys=2)
+
+
+@functools.partial(jax.jit, static_argnames=("pbits", "neighbors",
+                                             "interpret"))
+def neighbor_verify_keys(sg: jnp.ndarray, sp: jnp.ndarray, pbits: int,
+                         neighbors: int = 1,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """Sorted (grams, positions) -> un-sort keys (pos << hbits | offset)
+    where the claimed offset is BYTE-VERIFIED: the k-th previous entry
+    must carry an EQUAL 4-byte gram (sorted by gram, so equal grams are
+    adjacent and position-ordered). Downstream chain-doubling over these
+    claims composes true equalities, so every emitted length is exact in
+    4-byte units — the property the on-device entropy encoder needs (no
+    host verification pass exists in that mode)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R, w = sg.shape
+    hbits = 32 - pbits
+    rows = _rows(R)
+
+    def kernel(sg_ref, sp_ref, out_ref):
+        g = sg_ref[...]
+        sp_ = sp_ref[...]
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+        off = jnp.zeros_like(sp_)
+        for k in range(1, neighbors + 1):
+            pg = _shr(g, k, jnp.uint32(0xFFFFFFFF), gp)
+            pp = _shr(sp_, k, jnp.uint32(0), gp)
+            # Tail-gram guard: equal grams that are both zero-extended
+            # past the block end would "verify" padding; finalize's
+            # gp + 4 <= blen mask drops those probes.
+            eq = (g == pg) & (pp < sp_)
+            off = jnp.where((off == 0) & eq, sp_ - pp, off)
+        out_ref[...] = (sp_ << hbits) | off
+
+    spec = pl.BlockSpec((rows, w), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(R // rows,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((R, w), jnp.uint32),
+        compiler_params=_CP,
+        interpret=interpret,
+    )(sg, sp)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "chain_steps",
+                                             "far_min", "near_off",
+                                             "interpret"))
+def finalize_verified(su: jnp.ndarray, blocks: jnp.ndarray,
+                      lengths: jnp.ndarray, window: int,
+                      chain_steps: int = 3, far_min: int = 4,
+                      near_off: int = 32768,
+                      interpret: bool | None = None):
+    """Position-ordered verified claims -> exact (mlen, moff).
+
+    Claims arrive byte-verified for 4 bytes (neighbor_verify_keys);
+    chain-doubling over SAME-OFFSET claims at +4-byte steps composes
+    them into exact lengths in 4-byte units (claim at t and t+4 with
+    offset o means bytes [t, t+8) truly equal). Offset-1 runs keep
+    exact arbitrary lengths from the byte-compare scan. Unlike
+    finalize_candidates' estimates, every output here is a true match —
+    safe to encode on device with no host pass."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    omask = (1 << pbits) - 1
+    rows = _rows(B)
+    nseg = N // w
+
+    def kernel(su_ref, x_ref, len_ref, mlen_ref, moff_ref):
+        blen = len_ref[...][:, :1]
+        gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+        offs = (su_ref[...] & omask).astype(jnp.int32).reshape(rows, N)
+        offs = jnp.where(gp + 4 <= blen, offs, 0)
+        reach = (offs > 0).astype(jnp.int32)
+        span_units = 1
+        for _ in range(chain_steps):
+            shift = span_units * 4
+            nxt_off = _shl(offs, shift, 0, gp)
+            nxt_reach = _shl(reach, shift, 0, gp)
+            cont = (offs > 0) & (reach == span_units) & (nxt_off == offs)
+            reach = jnp.where(cont, reach + nxt_reach, reach)
+            span_units *= 2
+        mlen = reach * 4
+        moff = offs
+        # Default = take every verified match (far_min=4, near_off=w):
+        # swept on the mixed corpus — filters LOSE ratio here because
+        # every claim is already a true match and the FSE tables absorb
+        # short-match codes well (0.2886 unfiltered vs 0.3012 filtered).
+        worth = ((mlen >= far_min)
+                 | ((mlen >= 4) & (moff <= near_off)))
+        mlen = jnp.where(worth, mlen, 0)
+        moff = jnp.where(worth, moff, 0)
+        mlen = jnp.minimum(mlen, 16383)
+
+        # Offset-1 runs: exact lengths from the byte-compare scan
+        # (true bytes, same as finalize_candidates' final pass).
+        x = x_ref[...].astype(jnp.int32)
+        big = jnp.int32(2 ** 30)
+        xn = _shl(x, 1, -1, gp)
+        chg = x != xn
+        r = jnp.where(chg, gp, big)
+        step = 1
+        nsteps = min(14, max(1, (N - 1).bit_length()))
+        for _ in range(nsteps):
+            r = jnp.minimum(r, _shl(r, step, big, gp))
+            step *= 2
+        len1 = r - gp + 1
+        len1 = jnp.minimum(jnp.minimum(len1, blen - gp), 16383)
+        xp0 = _shr(x, 1, -1, gp)
+        prev_eq = x == xp0
+        use1 = prev_eq & (len1 >= 4) & (len1 > mlen)
+        mlen_ref[...] = jnp.where(use1, len1, mlen)
+        moff_ref[...] = jnp.where(use1, 1, moff)
+
+    spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows,),
+        in_specs=[seg_spec, spec, len_spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((B, N), jnp.int32)] * 2,
+        compiler_params=_CP,
+        interpret=interpret,
+    )(su, blocks, lengths.reshape(B, 1).astype(jnp.int32))
+
+
+def candidates_hash_verified(blocks: jnp.ndarray, lengths: jnp.ndarray,
+                             neighbors: int = 2, window: int = 32768,
+                             chain_steps: int = 3, far_min: int = 4,
+                             near_off: int = 32768,
+                             interpret: bool | None = None):
+    """Byte-verified hash-path candidates: every (mlen, moff) is a true
+    match (split-dispatch: 2-op sort -> verify kernel -> fast un-sort
+    -> exact finalize). The device-entropy matcher for fast levels."""
+    B, N = blocks.shape
+    w = min(window, N)
+    pbits = (w - 1).bit_length()
+    g0, pos = gram_pos_planes(blocks, window, interpret=interpret)
+    sg, sp = _sort_rows2(g0, pos)
+    su = _sort_rows(neighbor_verify_keys(sg, sp, pbits, neighbors,
+                                         interpret=interpret))
+    return finalize_verified(su, blocks, lengths, window,
+                             chain_steps=chain_steps, far_min=far_min,
+                             near_off=near_off, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("pbits", "neighbors",
                                              "pos_mask", "interpret"))
 def neighbor_unsort_keys(sk: jnp.ndarray, pbits: int, neighbors: int = 1,

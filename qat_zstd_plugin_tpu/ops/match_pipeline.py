@@ -873,6 +873,41 @@ def find_matches_with_seqsec(blocks, lengths, neighbors: int = 4,
     return packed, words, bits, sec_over, plan, lits
 
 
+def find_matches_with_seqsec_hash(blocks, lengths, neighbors: int = 2,
+                                  max_seq: int = 16384,
+                                  parser: str = "scan",
+                                  lazy: bool = False, seq_words: int = 8192,
+                                  window: int = 32768,
+                                  custom_tables: bool = True,
+                                  device_literals: bool = True):
+    """Device-entropy pipeline on the BYTE-VERIFIED hash path: the gram
+    rides the first sort (glue_kernels.candidates_hash_verified), so
+    every (mlen, moff) is a true match — exact enough to encode FSE
+    sections on device with no host pass — at hash-path speeds (one
+    2-key sort + one fast single-word sort vs the content matcher's
+    5-operand stable sort). Lengths quantize to 4-byte units (offset-1
+    runs stay exact): the throughput/ratio trade the QAT hardware's
+    static-Huffman config makes (src/qatseqprod.c:935-946), chosen the
+    TPU way."""
+    from . import fse_kernel
+    from . import glue_kernels
+    mlen, moff = glue_kernels.candidates_hash_verified(
+        blocks, lengths, neighbors=neighbors, window=window)
+    chosen = _parse_jit(mlen, parser, lazy)
+    out = _compact_coalesce_jit(chosen, mlen, moff, lengths, max_seq,
+                                window)
+    words, bits, sec_over, plan = fse_kernel.encode_sequence_sections(
+        out["lit_len"], out["offset"], out["match_len"], out["nseq"],
+        max_words=seq_words, custom=custom_tables)
+    packed = _pack_wide_jit(out, max_seq)
+    lits = None
+    if device_literals:
+        from . import literals_kernel
+        lits = literals_kernel.encode_literals_device(
+            blocks, lengths, chosen, mlen)
+    return packed, words, bits, sec_over, plan, lits
+
+
 def find_matches_positions(blocks, lengths, widths=(6,), neighbors: int = 1,
                            window: int = 32768, max_seq: int = 16384,
                            parser: str | None = None, lazy: bool = False,

@@ -208,17 +208,33 @@ class TpuCodec:
 
             if self.device_entropy:
                 # Device entropy encodes final FSE sections from the raw
-                # device sequences — no host verification pass — so it
-                # requires the exact-LCP content matcher (hash-path claims
-                # are probabilistic until the host checks them).
-                def run(blocks, lengths):
-                    return match_pipeline.find_matches_with_seqsec(
-                        blocks, lengths, neighbors=self.params.neighbors,
-                        max_seq=self.max_seq, parser=parser,
-                        lazy=self.params.lazy, stride=self.params.stride,
-                        window=self.params.window,
-                        custom_tables=self.params.custom_tables,
-                        device_literals=self.params.huffman)
+                # device sequences — no host verification pass — so its
+                # matcher must emit TRUE matches. Fast (hash) levels ride
+                # the byte-verified hash path (the gram rides the first
+                # sort; 4-byte-quantized exact lengths at hash-path
+                # speed — needs no native host verifier, so no
+                # _matcher() downgrade); deep levels keep the exact-LCP
+                # content matcher.
+                if self.params.matcher == "hash":
+                    def run(blocks, lengths):
+                        return match_pipeline.find_matches_with_seqsec_hash(
+                            blocks, lengths, neighbors=2,
+                            max_seq=self.max_seq, parser=parser,
+                            lazy=self.params.lazy,
+                            window=self.params.window,
+                            custom_tables=self.params.custom_tables,
+                            device_literals=self.params.huffman)
+                else:
+                    def run(blocks, lengths):
+                        return match_pipeline.find_matches_with_seqsec(
+                            blocks, lengths,
+                            neighbors=self.params.neighbors,
+                            max_seq=self.max_seq, parser=parser,
+                            lazy=self.params.lazy,
+                            stride=self.params.stride,
+                            window=self.params.window,
+                            custom_tables=self.params.custom_tables,
+                            device_literals=self.params.huffman)
             elif self._matcher() == "hash":
                 # Positions contract: device sends (pos, off) claims only;
                 # the host extension derives exact lengths (the lean

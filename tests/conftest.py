@@ -19,4 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Persistent compile cache: the device-entropy chain alone costs ~10 min
+# of XLA compilation at test shapes; caching it makes repeat suite runs
+# (and CI re-runs) pay it once. Separate dir from the TPU cache.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_repo, ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+sys.path.insert(0, _repo)
