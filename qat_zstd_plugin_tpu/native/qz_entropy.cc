@@ -1560,6 +1560,16 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
   const size_t total = ctx_len + n;
   if (min_gap < 4) min_gap = 4;
   if (mml < 4) mml = 4;
+  // Early exit: no qualifying gap means nothing to probe, and the
+  // table seed below (up to a full window of context at stride 2, per
+  // block) is the expensive part — skip all of it. Device-parsed blocks
+  // are usually densely covered, so this is the common case.
+  {
+    bool any_gap = *last_literals >= static_cast<uint32_t>(min_gap);
+    for (size_t i = 0; !any_gap && i < nseq; ++i)
+      any_gap = lit_lens[i] >= static_cast<uint32_t>(min_gap);
+    if (!any_gap) return nseq;
+  }
   const int hash_log = 17;
   std::vector<int32_t> head(size_t(1) << hash_log, -1);
   std::vector<int32_t> prev(total, -1);
@@ -1573,10 +1583,18 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
     prev[p] = head[h];
     head[h] = static_cast<int32_t>(p);
   };
-  // Seed: context at stride 2, then the block's matched spans at stride
-  // 2 (gap positions insert lazily as the scan passes them, preserving
-  // "candidates precede the probe" order within gaps).
-  for (size_t p = 0; p + 4 <= ctx_len; p += 2) insert(p);
+  // Seed: context, then the block's matched spans at stride 2 (gap
+  // positions insert lazily as the scan passes them, preserving
+  // "candidates precede the probe" order within gaps). The context
+  // seed stride adapts to the probe volume: a block with few gap bytes
+  // cannot repay a dense seed of up to a full window (the seed, not
+  // the probing, dominates this pass's cost).
+  size_t gap_bytes = *last_literals;
+  for (size_t i = 0; i < nseq; ++i)
+    if (lit_lens[i] >= static_cast<uint32_t>(min_gap))
+      gap_bytes += lit_lens[i];
+  size_t ctx_stride = gap_bytes >= 8192 ? 2 : (gap_bytes >= 1024 ? 4 : 8);
+  for (size_t p = 0; p + 4 <= ctx_len; p += ctx_stride) insert(p);
   {
     size_t pos = ctx_len;
     for (size_t i = 0; i < nseq; ++i) {
