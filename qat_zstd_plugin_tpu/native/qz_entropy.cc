@@ -1788,9 +1788,11 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     // slot-quantized (exact to +-1 slot = +-the sample stride), so when
     // the quantized offset does not verify, scan the +-63 byte
     // neighborhood outward for the true distance. Gated on a weak
-    // direct/rep result and a long-range offset so the probe never
-    // runs on the (exact) local claims.
-    if (l < 16 && offsets[i] > 65536) {
+    // direct/rep result and an offset beyond the 32K local window so
+    // the probe never runs on the (exact) local claims — LDM claims in
+    // the (32K, 64K] band are just as jittered as farther ones (review
+    // finding: the old > 65536 gate let those degrade to literals).
+    if (l < 16 && offsets[i] > 32768) {
       uint32_t o0 = offsets[i];
       for (uint32_t d = 1; d <= 63; ++d) {
         uint32_t cand[2] = {o0 - d, o0 + d};

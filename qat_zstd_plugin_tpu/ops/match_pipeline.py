@@ -768,13 +768,20 @@ def find_matches_fused(blocks, lengths, neighbors: int = 4,
         off_bits = 15
         if ldm:
             from . import glue_kernels
-            max_off = min(ldm_max_off, 1 << 18)  # 14b ml + 18b off packing
+            # (1 << 18) - 1, not 1 << 18: _ldm_est's window test is
+            # inclusive, and an offset of exactly 2^18 would set bit 18
+            # — the packed payload's ml LSB (off-by-one found in review).
+            max_off = min(ldm_max_off, (1 << 18) - 1)
             su_l = glue_kernels.ldm_unsorted(blocks, ldm, neighbors=1)
             mlen, moff = glue_kernels.merge_ldm(
                 mlen, moff, su_l, lengths, ldm, local_cap=LCP_CAP,
                 max_off=max_off)
-            mlen = jnp.minimum(mlen, 16383)
-            off_bits = 18
+            if window < blocks.shape[1]:
+                # Only the segmented compact packs (ml << 18 | off);
+                # the unsegmented path keeps int32 operands, where the
+                # clamp would just fragment long matches.
+                mlen = jnp.minimum(mlen, 16383)
+                off_bits = 18
         chosen = _parse(mlen, parser, lazy)
         out = compact(chosen, mlen, moff, lengths, max_seq, window=window,
                       off_bits=off_bits)

@@ -253,6 +253,14 @@ class TpuCodec:
                         dense=self.params.dense, sync=self.params.sync)
             else:
                 wlog = golden_codec.level_params(self.level).window_log
+                # LDM claims are minimizer estimates (slot-quantized
+                # offsets, chained-span lengths): only the native
+                # extension walk verifies them against real bytes. With
+                # no native runtime the Python entropy path would encode
+                # them verbatim — silent corruption (review finding) —
+                # so the content path runs LDM only when the verifier
+                # exists. Exact-LCP local matches need no verification.
+                ldm = self.params.ldm if native.available() else 0
 
                 def run(blocks, lengths):
                     return match_pipeline.find_matches_packed(
@@ -261,7 +269,7 @@ class TpuCodec:
                         lazy=self.params.lazy, stride=self.params.stride,
                         window=self.params.window,
                         matcher=self._matcher(), widths=self.params.widths,
-                        ldm=self.params.ldm, ldm_max_off=1 << wlog)
+                        ldm=ldm, ldm_max_off=1 << wlog)
 
             self._fn = run
         return self._fn
