@@ -109,6 +109,23 @@ def _mixed_corpus(n, seed=0):
     return bench.make_corpus(n, seed=seed)
 
 
+def test_content_ldm_gated_off_without_native_verifier(monkeypatch):
+    """LDM claims are minimizer estimates; only the native extension
+    walk verifies them against real bytes. Without the native runtime
+    the content path must not emit them (review finding: they would be
+    encoded verbatim — silent corruption on dup-heavy input)."""
+    from qat_zstd_plugin_tpu import native as nat
+    import numpy as np
+    monkeypatch.setattr(nat, "available", lambda: False)
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 256, 400000).astype(np.uint8)
+    buf[250000:251024] = buf[150000:151024]  # offset 100000, not %32
+    data = buf.tobytes()
+    c = TpuCodec(level=5, batch=8, use_device=True)
+    f = c.compress(data)
+    assert oracle.roundtrip_ok(f, data)
+
+
 def test_dense_claims_beat_parse_claims_on_ratio():
     data = _mixed_corpus(2 << 20, seed=3)
     base = TPU_LEVEL_TABLE[1]
