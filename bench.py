@@ -125,7 +125,11 @@ def _sample_mbs(chain, nbytes: int, k_samples: int,
             retries += 1
             continue
         samples.append(nbytes / slope / 1e6)
-    return samples[1:] or samples or [0.0]
+    if not samples:
+        # Raising (instead of reporting 0.0 as if measured) routes the
+        # capture into _fallback_cpu, which records a truthful row.
+        raise RuntimeError("relay too jittery: no positive-slope sample")
+    return samples[1:] or samples
 
 
 def _median_spread(samples: list[float]) -> tuple[float, float]:

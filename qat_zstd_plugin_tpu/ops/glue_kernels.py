@@ -52,6 +52,21 @@ def _shr(a, s, fill, gp):
     return jnp.where(gp >= s, r, fill)
 
 
+def _winmin_tail(h8: jnp.ndarray, stride: int, gp: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Windowed-minimum doubling over an 8-byte-gram hash plane: entry i
+    becomes min over [i, i+stride). Sign-flipped i32 min because Mosaic
+    cannot legalize unsigned reductions. Shared by the three minimizer
+    heads (ldm_winmin, hash_keys_winmin, hash_keys_winmin_sync) so the
+    fill/sign logic cannot silently diverge between them."""
+    m = (h8 ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    s = 1
+    while s < stride:
+        m = jnp.minimum(m, _shl(m, s, jnp.int32(0x7FFFFFFF), gp))
+        s *= 2
+    return m.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+
+
 def _hash_tile(x: jnp.ndarray, width: int, n: int, hbits: int,
                gp: jnp.ndarray) -> jnp.ndarray:
     """hbits-bit hash of the width-byte gram; x: (rows, n) uint32.
@@ -154,13 +169,7 @@ def hash_keys_winmin(blocks: jnp.ndarray, width: int, window: int,
             & jnp.uint32(w - 1)
         key_ref[...] = ((h << pbits) | pos).reshape(rows * nseg, w)
         h8 = _hash_tile(x, 8, N, 32, gp)
-        # Sign-flipped i32 min (Mosaic cannot legalize unsigned min).
-        m = (h8 ^ jnp.uint32(0x80000000)).astype(jnp.int32)
-        s = 1
-        while s < stride:
-            m = jnp.minimum(m, _shl(m, s, jnp.int32(0x7FFFFFFF), gp))
-            s *= 2
-        min_ref[...] = m.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+        min_ref[...] = _winmin_tail(h8, stride, gp)
 
     return pl.pallas_call(
         kernel,
@@ -187,12 +196,14 @@ def hash_keys_winmin_sync(blocks: jnp.ndarray, width: int, window: int,
     Full-resolution anchoring sorts one key per byte; this selects one
     anchor per byte PAIR — the member whose 8-byte-gram hash is smaller
     (a winnowing/minimizer selection, the same content-determined rule
-    the LDM sampler uses at stride 32+). Matching content picks the same
-    member regardless of where the pair grid falls on it, so repeats at
-    ANY offset — odd included — still collide in the sort. (Fixed-grid
-    stride-2 sampling was measured at 1.25x stock ratio precisely
-    because even-positioned anchors can only discover even offsets.)
-    Both dominant sort volumes halve.
+    the LDM sampler uses at stride 32+). Selection depends on content
+    AND the pair grid, so co-selection across two copies is
+    probabilistic, not guaranteed: ~1/2 per content position at even
+    offsets (aligned grids), ~1/3 at odd (P(h8 beats both possible
+    pair-mates)) — but never zero, where fixed-grid stride-2 sampling
+    is structurally blind to odd offsets entirely (measured 1.25x stock
+    ratio). tests/test_sync.py pins both properties. Both dominant sort
+    volumes halve.
 
     Returns ((B*nseg, w/2) pair-selection keys — the even lanes of the
     kernel's full-width output, sliced inside this jit so the extraction
@@ -209,9 +220,10 @@ def hash_keys_winmin_sync(blocks: jnp.ndarray, width: int, window: int,
     hbits = 32 - pbits
     rows = _rows(B)
     nseg = N // w
-    assert stride & (stride - 1) == 0
+    assert stride & (stride - 1) == 0  # stride 0: skip the LDM plane
+    want_min = stride > 0
 
-    def kernel(x_ref, key_ref, min_ref):
+    def kernel(x_ref, key_ref, *min_refs):
         x = x_ref[...].astype(jnp.uint32)
         gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
         h = _hash_tile(x, width, N, hbits, gp)
@@ -227,29 +239,27 @@ def hash_keys_winmin_sync(blocks: jnp.ndarray, width: int, window: int,
         selh = jnp.where(pick_next, hn, h)
         selp = jnp.where(pick_next, pos + 1, pos)
         key_ref[...] = ((selh << pbits) | selp).reshape(rows * nseg, w)
-        # LDM minimizer plane (shares the h8 gram read).
-        m = (h8 ^ jnp.uint32(0x80000000)).astype(jnp.int32)
-        s = 1
-        while s < stride:
-            m = jnp.minimum(m, _shl(m, s, jnp.int32(0x7FFFFFFF), gp))
-            s *= 2
-        min_ref[...] = m.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+        if want_min:  # LDM minimizer plane (shares the h8 gram read)
+            min_refs[0][...] = _winmin_tail(h8, stride, gp)
 
-    key_full, minz = pl.pallas_call(
+    out_specs = [pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32)]
+    if want_min:
+        out_specs.append(pl.BlockSpec((rows, N), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, N), jnp.uint32))
+    out = pl.pallas_call(
         kernel,
         grid=(B // rows,),
         in_specs=[pl.BlockSpec((rows, N), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((rows * nseg, w), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((rows, N), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B * nseg, w), jnp.uint32),
-                   jax.ShapeDtypeStruct((B, N), jnp.uint32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_CP,
         interpret=interpret,
     )(blocks)
-    return key_full[:, ::2], minz
+    return out[0][:, ::2], (out[1] if want_min else None)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))
@@ -1081,13 +1091,7 @@ def ldm_winmin(blocks: jnp.ndarray, stride: int,
         x = x_ref[...].astype(jnp.uint32)
         gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
         h = _hash_tile(x, 8, N, 32, gp)
-        # Sign-flipped i32 min (Mosaic cannot legalize unsigned min).
-        m = (h ^ jnp.uint32(0x80000000)).astype(jnp.int32)
-        s = 1
-        while s < stride:
-            m = jnp.minimum(m, _shl(m, s, jnp.int32(0x7FFFFFFF), gp))
-            s *= 2
-        out_ref[...] = m.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+        out_ref[...] = _winmin_tail(h, stride, gp)
 
     spec = pl.BlockSpec((rows, N), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -1426,11 +1430,14 @@ def compact_slots_sync(su: jnp.ndarray, window: int, lengths: jnp.ndarray,
         if has_ldm:
             est = refs[3][...]
             ldo = refs[4][...]
-            # merge_ldm's take rule with the syncmer local estimate
-            # (width where a local claim exists, else 0).
+            # merge_ldm's take rule degenerates here: the sync path has
+            # no local length estimate, so ml0 is width (6) or 0 — never
+            # saturated at local_cap — and any valid LDM claim (est >=
+            # 2*stride >= 64 > width) wins its slot. Kept as the simple
+            # comparison; the host extension still byte-verifies and may
+            # fall back to rep/local offsets.
             ml0 = jnp.where(best != empty, jnp.int32(width), 0)
-            take = (est > ml0) & ((ml0 < jnp.int32(local_cap))
-                                  | (est >= 128))
+            take = est > ml0
             best = jnp.where(take, ldo ^ sign, best)
         out = (best ^ sign).astype(jnp.uint32)
         refs[-1][...] = out.reshape(rows * nseg, ws)
@@ -1545,11 +1552,13 @@ def find_matches_positions(blocks, lengths, widths=(6,),
         # LDM minimizer plane, and the fused tail compacts pair claims +
         # LDM in one program. Single-width dense only (the host
         # extension walk is the parse and the economics filter).
-        assert dense and len(widths) == 1, "sync implies single-width dense"
+        if not dense or len(widths) != 1:
+            raise ValueError("sync implies single-width dense "
+                             f"(got dense={dense}, widths={widths})")
         B, N = blocks.shape
         w = min(window, N)
         pbits = (w - 1).bit_length()
-        stride = ldm_stride(ldm, N) if ldm else 32
+        stride = ldm_stride(ldm, N) if ldm else 0  # 0: no minimizer plane
         key, minz = hash_keys_winmin_sync(blocks, widths[0], window,
                                           stride, interpret=interpret)
         su = _sort_rows(neighbor_unsort_keys(
