@@ -144,3 +144,45 @@ def test_fill_gaps_preserves_good_parse():
                                             ctx_len=0, mml=4)
     assert ll2.sum() + ml2.sum() + last2 == len(data)
     assert len(ll2) == len(ll) and (of2 == of).all()
+
+
+def test_compress_blocks_mt_streaming_ranges():
+    """The streaming MT compressor partitions blocks into contiguous
+    per-thread ranges with a persistent hash table; every partitioning
+    must produce valid frames-worth of bodies and identical bytes for
+    the single-range case (determinism within a range)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    buf = np.frombuffer(bench.make_corpus(7 * 131072 + 12345, seed=11),
+                        np.uint8)
+    from qat_zstd_plugin_tpu.golden import decoder as gdec  # noqa: F401
+    from qat_zstd_plugin_tpu.format import frame as fr
+
+    ref = None
+    for nthreads in (1, 2, 3, 8):
+        bodies = native.compress_blocks_mt(
+            buf, 131072, 2, False, True, True, window_log=19, mml=6,
+            nthreads=nthreads)
+        f = fr.assemble_frame(buf, bodies, 131072, True)
+        assert oracle.roundtrip_ok(f, buf.tobytes()), nthreads
+        if nthreads == 1:
+            ref = bodies
+    # nthreads=1 is a single range: deterministic across calls
+    again = native.compress_blocks_mt(
+        buf, 131072, 2, False, True, True, window_log=19, mml=6,
+        nthreads=1)
+    assert [bytes(b) if b else b for b in again] \
+        == [bytes(b) if b else b for b in ref]
+
+
+def test_compress_blocks_mt_window_smaller_than_block():
+    buf = np.frombuffer(b"abcdef" * 40000, np.uint8)  # 240000 bytes
+    from qat_zstd_plugin_tpu.format import frame as fr
+    bodies = native.compress_blocks_mt(
+        buf, 131072, 2, False, True, True, window_log=17, mml=6,
+        nthreads=2)
+    f = fr.assemble_frame(buf, bodies, 131072, True)
+    assert oracle.roundtrip_ok(f, buf.tobytes())
