@@ -113,6 +113,11 @@ def _sample_mbs(chain, nbytes: int, k_samples: int,
     drain); it is measured and discarded."""
     ks = sorted({1, max(2, 1 + span // 3), max(3, 1 + 2 * span // 3),
                  1 + span})
+    # Physical sanity ceiling: the pipeline makes >= ~10 HBM passes over
+    # the batch, so >20 GB/s is unconditionally a measurement artifact
+    # (observed: a stalled relay queue releasing a whole round at once
+    # produced a "95 GB/s" sample).
+    CEILING_MBS = 20000.0
     samples: list[float] = []
     retries = 0
     while len(samples) < k_samples + 1 and retries < 3 * k_samples:
@@ -121,7 +126,7 @@ def _sample_mbs(chain, nbytes: int, k_samples: int,
                   for i, (k1, t1) in enumerate(pts)
                   for (k2, t2) in pts[i + 1:]]
         slope = float(np.median(slopes))
-        if slope <= 0:
+        if slope <= 0 or nbytes / slope / 1e6 > CEILING_MBS:
             retries += 1
             continue
         samples.append(nbytes / slope / 1e6)
@@ -129,7 +134,18 @@ def _sample_mbs(chain, nbytes: int, k_samples: int,
         # Raising (instead of reporting 0.0 as if measured) routes the
         # capture into _fallback_cpu, which records a truthful row.
         raise RuntimeError("relay too jittery: no positive-slope sample")
-    return samples[1:] or samples
+    samples = samples[1:] or samples
+    # MAD outlier strip: a round whose chains all landed in one stalled
+    # relay burst yields a correlated absurd slope; drop samples beyond
+    # 4 MADs of the median when enough honest ones remain.
+    if len(samples) >= 4:
+        med = float(np.median(samples))
+        mad = float(np.median([abs(s - med) for s in samples]))
+        if mad > 0:
+            kept = [s for s in samples if abs(s - med) <= 4 * mad]
+            if len(kept) >= 3:
+                samples = kept
+    return samples
 
 
 def _median_spread(samples: list[float]) -> tuple[float, float]:
