@@ -1414,6 +1414,141 @@ struct StreamMatcher {
     if (adaptive)
       prune_sequences(base + blk_off, blk_len, seqs, last_literals);
   }
+
+  // ---- Single-probe fast matcher (the fast-level strategy) ----
+  //
+  // Stock zstd maps its fastest levels to exactly this shape (one hash
+  // table entry per probe, no chains, acceleration stepping over
+  // incompressible stretches); the chain matcher above was measured at
+  // ~72% of the software path's time at L1, almost all of it chain-walk
+  // loads and per-position inserts. Here each scan position costs one
+  // table load + one store; positions skipped by acceleration cost
+  // nothing at all. The table persists across blocks exactly like the
+  // chain table (streaming context), candidates are byte-verified, and
+  // the window/ordering guards reject stale entries, so staleness can
+  // cost a probe but never correctness.
+  static constexpr int kFastHashLog = 17;
+  std::vector<int32_t> fhead;   // most recent position per bucket
+  std::vector<int32_t> fhead2;  // previous occupant (2-way probe)
+
+  uint32_t fhash_at(size_t p) const {
+    // 6-byte gram (matches the fast levels' mml=6 general minimum):
+    // low 48 bits of the little-endian word, golden-ratio mixed.
+    uint64_t w;
+    std::memcpy(&w, base + p, 8);
+    return static_cast<uint32_t>(((w << 16) * 0x9E3779B185EBCA87ull) >>
+                                 (64 - kFastHashLog));
+  }
+  void ensure_fast_tables() {
+    if (fhead.empty()) {
+      fhead.assign(size_t(1) << kFastHashLog, -1);
+      fhead2.assign(size_t(1) << kFastHashLog, -1);
+    }
+  }
+  void insert_fast(size_t p) {
+    uint32_t h = fhash_at(p);
+    fhead2[h] = fhead[h];
+    fhead[h] = static_cast<int32_t>(p);
+  }
+
+  void compress_block_fast(size_t blk_off, size_t blk_len, int mml,
+                           std::vector<Sequence>* seqs,
+                           uint32_t* last_literals) {
+    bool adaptive = mml <= 0;
+    if (adaptive) mml = 4;
+    if (mml < 4) mml = 4;
+    seqs->clear();
+    ensure_fast_tables();
+    const size_t total = blk_off + blk_len;
+    if (blk_len < 16) {
+      *last_literals = static_cast<uint32_t>(blk_len);
+      return;
+    }
+    const size_t safe_end = total - 8;  // fhash_at / rd64 window
+    auto match_len_at = [&](size_t p, uint32_t o) -> size_t {
+      size_t lim = total - p;
+      size_t l = 0;
+      const uint8_t* a = base + p;
+      const uint8_t* b = a - o;
+      while (l + 8 <= lim && rd64(a + l) == rd64(b + l)) l += 8;
+      while (l < lim && a[l] == b[l]) ++l;
+      return l;
+    };
+    size_t lit_start = blk_off;
+    size_t pos = blk_off;
+    uint32_t rep = 0;
+    while (pos <= safe_end) {
+      size_t len = 0;
+      uint32_t off = 0;
+      size_t scan = pos;
+      // --- probe with acceleration: step grows with the literal run ---
+      while (scan <= safe_end) {
+        uint32_t h = fhash_at(scan);
+        int32_t cand0 = fhead[h];
+        int32_t cand1 = fhead2[h];
+        fhead2[h] = cand0;
+        fhead[h] = static_cast<int32_t>(scan);
+        size_t lr = 0;
+        if (rep && scan >= static_cast<size_t>(rep) &&
+            rd32(base + scan) == rd32(base + scan - rep))
+          lr = match_len_at(scan, rep);
+        for (int32_t cand : {cand0, cand1}) {
+          if (cand < 0) continue;
+          size_t cp = static_cast<size_t>(cand);
+          if (cp < scan && scan - cp <= window &&
+              rd32(base + cp) == rd32(base + scan)) {
+            size_t l = match_len_at(scan, static_cast<uint32_t>(scan - cp));
+            uint32_t o = static_cast<uint32_t>(scan - cp);
+            // Same cost floor as the chain matcher: short matches pay
+            // only when near; rep continuations bypass below.
+            bool ok = l >= static_cast<size_t>(mml) ||
+                      (l >= 4 && o <= 1024);
+            if (l < 6 && o > 65536) ok = false;
+            if (ok && l > lr + 2 && l > len) {  // rep wins near ties
+              len = l;
+              off = o;
+            }
+          }
+        }
+        if (lr >= 4 && lr + 2 >= len) {
+          len = lr;
+          off = rep;
+        }
+        if (len) break;
+        scan += 1 + ((scan - lit_start) >> 8);
+      }
+      if (!len) break;  // no more matches in the block
+      // Backward extension into the pending literal run.
+      while (scan > lit_start && scan >= static_cast<size_t>(off) + 1 &&
+             base[scan - 1] == base[scan - 1 - off]) {
+        --scan;
+        ++len;
+      }
+      seqs->push_back({static_cast<uint32_t>(scan - lit_start), off,
+                       static_cast<uint32_t>(len)});
+      rep = off;
+      size_t end = scan + len;
+      // Sparse in-match inserts (the single-probe analog of the chain
+      // matcher's strided insert): the match head was stored by the
+      // probe; add one early and one tail position.
+      {
+        size_t q = scan + 2;
+        size_t qe = std::min(end >= 2 ? end - 2 : 0, safe_end);
+        size_t qstep = len <= 32 ? 8 : len / 4;
+        while (q <= qe && q <= safe_end) {
+          insert_fast(q);
+          q += qstep;
+        }
+        if (end >= 2 && end - 2 <= safe_end && end - 2 > scan + 2)
+          insert_fast(end - 2);
+      }
+      pos = end;
+      lit_start = end;
+    }
+    *last_literals = static_cast<uint32_t>(total - lit_start);
+    if (adaptive)
+      prune_sequences(base + blk_off, blk_len, seqs, last_literals);
+  }
 };
 
 }  // namespace qz
@@ -1954,7 +2089,15 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
     size_t ctx0 = std::min(range_off, window);
     qz::StreamMatcher sm(src + range_off - ctx0, ctx0 + range_len,
                          window);
-    for (size_t p = 0; p + 4 <= ctx0; p += 2) sm.insert(p);
+    // Fast levels (shallow greedy chains) take the single-probe matcher;
+    // its table seeds lazily, so context positions go straight into it.
+    bool fast = chain_depth <= 2 && !lazy;
+    if (fast && ctx0 >= 8) {
+      sm.ensure_fast_tables();
+      for (size_t p = 0; p + 8 <= ctx0; p += 2) sm.insert_fast(p);
+    }
+    if (!fast)
+      for (size_t p = 0; p + 4 <= ctx0; p += 2) sm.insert(p);
     std::vector<qz::Sequence> seqs;
     for (size_t i = b0; i < b1; ++i) {
       size_t off = i * block_size;
@@ -1962,8 +2105,12 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
       body_sizes[i] = 0;
       if (len < 64) continue;
       uint32_t last_lit = 0;
-      sm.compress_block(ctx0 + off - range_off, len, chain_depth,
-                        lazy != 0, mml, &seqs, &last_lit);
+      if (fast)
+        sm.compress_block_fast(ctx0 + off - range_off, len, mml, &seqs,
+                               &last_lit);
+      else
+        sm.compress_block(ctx0 + off - range_off, len, chain_depth,
+                          lazy != 0, mml, &seqs, &last_lit);
       std::vector<uint32_t> ll(seqs.size()), of(seqs.size()),
           ml(seqs.size());
       for (size_t s = 0; s < seqs.size(); ++s) {

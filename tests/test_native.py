@@ -186,3 +186,49 @@ def test_compress_blocks_mt_window_smaller_than_block():
         nthreads=2)
     f = fr.assemble_frame(buf, bodies, 131072, True)
     assert oracle.roundtrip_ok(f, buf.tobytes())
+
+
+def test_fast_matcher_edges():
+    """The single-probe fast matcher (chain_depth <= 2, greedy) must
+    roundtrip bit-exactly on its structural edge cases: incompressible
+    data (acceleration stepping skips most probes), long rep runs (the
+    rep probe carries the parse), short runt tails below the 16-byte
+    floor, and mixed content straddling block boundaries."""
+    from qat_zstd_plugin_tpu.format import frame as fr
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, 300000, np.uint8).tobytes(),    # incompressible
+        b"\x00" * 200000,                                    # one rep run
+        (b"abcdefgh" * 20000)[:150001],                      # period-8 reps
+        rng.integers(0, 4, 140000, np.uint8).tobytes(),      # low entropy
+        b"x" * 15,                                           # runt block
+        (bytes(range(256)) * 1024)[: 131072 + 17],           # boundary tail
+    ]
+    for i, data in enumerate(cases):
+        buf = np.frombuffer(data, np.uint8)
+        bodies = native.compress_blocks_mt(
+            buf, 131072, 2, False, True, True, window_log=19, mml=6)
+        f = fr.assemble_frame(buf, bodies, 131072, True)
+        assert oracle.roundtrip_ok(f, data), i
+
+
+def test_fast_matcher_ratio_sane_vs_chain():
+    """The fast matcher trades chain walks for a 2-way table; on a mixed
+    corpus it must stay within a few percent of the chain matcher's
+    compressed size (it currently beats it: the per-scan rep probe plus
+    persistent streaming context outweigh the lost chain depth)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    buf = np.frombuffer(bench.make_corpus(1 << 20, seed=3), np.uint8)
+
+    def csize(depth):
+        bodies = native.compress_blocks_mt(
+            buf, 131072, depth, False, True, True, window_log=19, mml=6,
+            nthreads=1)
+        return sum(len(b) if b else 131072 for b in bodies)
+
+    fast, chain = csize(2), csize(3)
+    assert fast <= chain * 1.03, (fast, chain)

@@ -67,9 +67,11 @@ def test_device_vs_stock_per_level(corpus):
 def test_cpu_native_vs_stock_per_level(corpus):
     """The software path (cross-block context, native matcher, repcodes,
     gap-fill, package-merge Huffman) must beat stock zstd outright at
-    EVERY level (measured r3 mixed corpus: L1 0.9995x, L3 0.974x,
+    EVERY level (measured r3 mixed corpus: L1 0.995x with the
+    single-probe fast matcher — 2-way table + per-scan rep probe beat
+    stock's zstd_fast, at ~4x the old chain matcher's speed — L3 0.974x,
     L5 0.992x, L9 0.960x, L12 <= 0.974x)."""
-    for lvl, bound in ((1, 1.005), (3, 1.0), (5, 1.0), (9, 1.0),
+    for lvl, bound in ((1, 1.0), (3, 1.0), (5, 1.0), (9, 1.0),
                        (12, 1.0)):
         ours = _ratio(TpuCodec(level=lvl, use_device=False), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
