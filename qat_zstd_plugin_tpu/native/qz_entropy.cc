@@ -34,13 +34,18 @@ struct BackwardBitWriter {
   int nbits = 0;
   std::vector<uint8_t> out;
 
+  // Whole-word flushes: a single add() carries <= 31 bits (the largest
+  // field is an offset's extra bits), and the post-flush residue is
+  // <= 31, so the 64-bit accumulator never overflows (31 + 31 = 62).
   inline void add(uint64_t value, int nb) {
     acc |= value << nbits;
     nbits += nb;
-    while (nbits >= 8) {
-      out.push_back(static_cast<uint8_t>(acc & 0xFF));
-      acc >>= 8;
-      nbits -= 8;
+    if (nbits >= 32) {
+      uint32_t word = static_cast<uint32_t>(acc);
+      out.insert(out.end(), reinterpret_cast<uint8_t*>(&word),
+                 reinterpret_cast<uint8_t*>(&word) + 4);
+      acc >>= 32;
+      nbits -= 32;
     }
   }
   inline void add_masked(uint64_t value, int nb) {
@@ -48,11 +53,12 @@ struct BackwardBitWriter {
   }
   std::vector<uint8_t> close() {
     add(1, 1);
-    if (nbits) {
+    while (nbits > 0) {  // drain the <= 32-bit residue
       out.push_back(static_cast<uint8_t>(acc & 0xFF));
-      acc = 0;
-      nbits = 0;
+      acc >>= 8;
+      nbits -= 8;
     }
+    nbits = 0;
     return std::move(out);
   }
 };
@@ -424,13 +430,19 @@ bool build_huffman(const int64_t* hist, HuffmanTable* t) {
   // children by (level, index); level 0 = previous round's packages.
   std::vector<std::vector<Item>> pools(1);
   std::vector<Item> prev;  // packages from the previous round
+  // Each round's pool is merge(leaves, prev): both inputs are already
+  // sorted (prev's package freqs are sums of consecutive pairs of a
+  // sorted list, hence non-decreasing), and std::merge takes from the
+  // first range on ties — exactly the leaves-before-equal-frequency-
+  // packages contract the Python mirror requires. Replaces a measured
+  // per-round stable_sort.
+  auto freq_lt = [](const Item& x, const Item& y) {
+    return x.freq < y.freq;
+  };
   for (int round = 0; round < MAX_CODE_BITS - 1; ++round) {
-    std::vector<Item> cur = leaves;
-    cur.insert(cur.end(), prev.begin(), prev.end());
-    std::stable_sort(cur.begin(), cur.end(),
-                     [](const Item& x, const Item& y) {
-                       return x.freq < y.freq;
-                     });
+    std::vector<Item> cur(leaves.size() + prev.size());
+    std::merge(leaves.begin(), leaves.end(), prev.begin(), prev.end(),
+               cur.begin(), freq_lt);
     pools.push_back(cur);
     const int pool_id = static_cast<int>(pools.size()) - 1;
     std::vector<Item> nxt;
@@ -442,12 +454,9 @@ bool build_huffman(const int64_t* hist, HuffmanTable* t) {
     }
     prev = std::move(nxt);
   }
-  std::vector<Item> top = leaves;
-  top.insert(top.end(), prev.begin(), prev.end());
-  std::stable_sort(top.begin(), top.end(),
-                   [](const Item& x, const Item& y) {
-                     return x.freq < y.freq;
-                   });
+  std::vector<Item> top(leaves.size() + prev.size());
+  std::merge(leaves.begin(), leaves.end(), prev.begin(), prev.end(),
+             top.begin(), freq_lt);
   std::vector<int64_t> lengths(256, 0);
   std::vector<std::pair<int, int>> stack;  // (pool, index); (-1,i)=top
   for (int i = 0; i < 2 * n - 2; ++i) stack.push_back({-1, i});
@@ -761,7 +770,12 @@ static const int OF_DEFAULT_DIST[29] = {1, 1, 1, 1, 1, 1, 2, 2, 2, 1,
                                         1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
                                         1, 1, 1, 1, -1, -1, -1, -1, -1};
 
-static inline int ll_code(uint32_t ll) {
+// Code lookup: dense tables for the small values (where the bases are
+// irregular), highbit for the large ones (where each code spans exactly
+// one power-of-two range — LL_BASE[25+k] = 64<<k, ML_BASE[43+k] =
+// 3 + (128<<k)). The old per-sequence binary searches were a measured
+// hot spot of encode_sequences_section.
+static inline int ll_code_search(uint32_t ll) {
   if (ll < 16) return static_cast<int>(ll);
   int lo = 16, hi = 35;
   while (lo < hi) {
@@ -773,7 +787,7 @@ static inline int ll_code(uint32_t ll) {
   }
   return lo;
 }
-static inline int ml_code(uint32_t ml) {
+static inline int ml_code_search(uint32_t ml) {
   if (ml <= 34) return static_cast<int>(ml - 3);
   int lo = 32, hi = 52;
   while (lo < hi) {
@@ -784,6 +798,25 @@ static inline int ml_code(uint32_t ml) {
       hi = mid - 1;
   }
   return lo;
+}
+struct SeqCodeTables {
+  uint8_t ll[64];   // ll < 64
+  uint8_t ml[128];  // (ml - 3) < 128
+  SeqCodeTables() {
+    for (uint32_t v = 0; v < 64; ++v)
+      ll[v] = static_cast<uint8_t>(ll_code_search(v));
+    for (uint32_t v = 0; v < 128; ++v)
+      ml[v] = static_cast<uint8_t>(ml_code_search(v + 3));
+  }
+};
+static inline int ll_code(uint32_t ll) {
+  static const SeqCodeTables t;
+  return ll < 64 ? t.ll[ll] : highbit(ll) + 19;
+}
+static inline int ml_code(uint32_t ml) {
+  static const SeqCodeTables t;
+  uint32_t v = ml - 3;
+  return v < 128 ? t.ml[v] : highbit(v) + 36;
 }
 
 struct TablePlan {
@@ -971,6 +1004,7 @@ bool encode_sequences_section(const uint32_t* lit_lens,
       out->insert(out->end(), p->desc.begin(), p->desc.end());
 
   BackwardBitWriter w;
+  w.out.reserve(n * 4 + 64);
   auto mk_state = [](const TablePlan& p, int first_sym, FseEncoder* e) {
     if (p.mode == 1) {
       e->rle = true;
