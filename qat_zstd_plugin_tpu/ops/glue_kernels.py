@@ -194,16 +194,24 @@ def hash_keys_winmin_sync(blocks: jnp.ndarray, width: int, window: int,
     """hash_keys_winmin + pair-syncmer anchor selection in one kernel.
 
     Full-resolution anchoring sorts one key per byte; this selects one
-    anchor per byte PAIR — the member whose 8-byte-gram hash is smaller
-    (a winnowing/minimizer selection, the same content-determined rule
-    the LDM sampler uses at stride 32+). Selection depends on content
-    AND the pair grid, so co-selection across two copies is
-    probabilistic, not guaranteed: ~1/2 per content position at even
-    offsets (aligned grids), ~1/3 at odd (P(h8 beats both possible
-    pair-mates)) — but never zero, where fixed-grid stride-2 sampling
-    is structurally blind to odd offsets entirely (measured 1.25x stock
-    ratio). tests/test_sync.py pins both properties. Both dominant sort
-    volumes halve.
+    anchor per byte PAIR by ARGMIN PARITY: the member whose lane parity
+    matches the parity of the windowed (SEL_W=4) h8 argmin — a
+    content-determined winnowing rule, like the LDM sampler's minimizer
+    at stride 32+. Selection depends on content AND the pair grid, so
+    co-selection across two copies is probabilistic, not guaranteed:
+    ~1/2 per content position at even offsets (aligned grids), ~0.40 at
+    odd (the sliding argmin's relative parity nearly alternates; SEL_W=2
+    degenerates to picking the smaller h8 of the pair, which co-selects
+    only positions beating BOTH neighbors — the provable 1/3 ceiling for
+    window-2 rules). Never zero, where fixed-grid stride-2 sampling is
+    structurally blind to odd offsets entirely (measured 1.25x stock
+    ratio, rejected). SEL_W choice is empirical: iid-hash co-selection
+    keeps rising with the window (0.444 at 8, -> 1/2), but end-to-end
+    ratio optimizes at 4 (measured L1 frames: SEL_W=2 1.0175x stock,
+    4 = 1.0160x and consistently smaller on every probe corpus, 8 =
+    1.0209x — longer windows desync selection near content boundaries
+    faster than co-selection pays). tests/test_sync.py pins the
+    properties. Both dominant sort volumes halve.
 
     Returns ((B*nseg, w/2) pair-selection keys — the even lanes of the
     kernel's full-width output, sliced inside this jit so the extraction
@@ -228,12 +236,20 @@ def hash_keys_winmin_sync(blocks: jnp.ndarray, width: int, window: int,
         gp = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
         h = _hash_tile(x, width, N, hbits, gp)
         h8 = _hash_tile(x, 8, N, 32, gp)
-        # Pair-syncmer selection: at even lane i, pick i+1 when its
-        # 8-byte-gram hash is strictly smaller (fill 0xFFFFFFFF keeps
-        # the last lane self-selecting).
-        h8n = _shl(h8, 1, jnp.uint32(0xFFFFFFFF), gp)
+        # Pair selection by ARGMIN PARITY (see the docstring for the
+        # co-selection analysis and the empirical SEL_W=4 choice).
+        # Parity rides the low bit of the minimized value (hash low bit
+        # cleared); a log-depth doubling min extracts the window-argmin
+        # parity without materializing the argmin itself. Sign-flipped
+        # i32 min like _winmin_tail (Mosaic cannot legalize unsigned
+        # vector min on this target).
+        par = (gp & 1).astype(jnp.int32)
+        v = ((h8 & jnp.uint32(0xFFFFFFFE)) ^ jnp.uint32(0x80000000)) \
+            .astype(jnp.int32) | par
+        for s in (1, 2):  # SEL_W = 4
+            v = jnp.minimum(v, _shl(v, s, jnp.int32(0x7FFFFFFF), gp))
         hn = _shl(h, 1, jnp.uint32(0), gp)
-        pick_next = h8n < h8
+        pick_next = (v & 1) == 1
         pos = jax.lax.broadcasted_iota(jnp.uint32, (rows, N), 1) \
             & jnp.uint32(w - 1)
         selh = jnp.where(pick_next, hn, h)

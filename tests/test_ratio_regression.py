@@ -36,9 +36,10 @@ def _ratio(codec, data):
 def test_device_path_l1_ratio(corpus):
     # L1 is the syncmer speed point (pair-sampled anchors, half the sort
     # volume) plus minimizer LDM plus relaxed host gap-fill (the gaps
-    # hold genuinely unseen short matches); measured 0.2759.
+    # hold genuinely unseen short matches); measured 0.2755 after the
+    # argmin-parity selection rule (odd-shift co-selection 1/3 -> 0.40).
     r = _ratio(TpuCodec(level=1, batch=4, use_device=True), corpus)
-    assert r < 0.282, r
+    assert r < 0.281, r
 
 
 def test_device_path_l3_ratio(corpus):
@@ -55,8 +56,12 @@ def test_device_vs_stock_per_level(corpus):
     — the ~3.4 GB/s point),
     L2 = full-resolution anchors (1.0007x), L3-L4 BEAT stock (0.984x,
     0.971x), L5 <= 0.996x, L9 ~1.003x. Ratios are monotone down the
-    ladder (the zstd level contract)."""
-    for lvl, bound in ((1, 1.03), (2, 1.015), (3, 1.0), (4, 1.0),
+    ladder (the zstd level contract). The argmin-parity syncmer
+    selection (odd-shift co-selection 1/3 -> 0.40 at the same sort
+    volume and cost) took device L1 from 1.0175x to 1.0160x stock on
+    this corpus (consistently smaller frames on every probe corpus;
+    -2.1% on text)."""
+    for lvl, bound in ((1, 1.02), (2, 1.015), (3, 1.0), (4, 1.0),
                        (5, 1.0), (9, 1.01)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
