@@ -1464,6 +1464,7 @@ struct StreamMatcher {
   static constexpr int kFastHashLog = 17;
   std::vector<int32_t> fhead;   // most recent position per bucket
   std::vector<int32_t> fhead2;  // previous occupant (2-way probe)
+  std::vector<int32_t> lhead;   // 8-byte-gram table (L2 long probe)
 
   uint32_t fhash_at(size_t p) const {
     // 6-byte gram (matches the fast levels' mml=6 general minimum):
@@ -1483,16 +1484,30 @@ struct StreamMatcher {
     uint32_t h = fhash_at(p);
     fhead2[h] = fhead[h];
     fhead[h] = static_cast<int32_t>(p);
+    if (!lhead.empty()) lhead[lhash_at(p)] = static_cast<int32_t>(p);
+  }
+  uint32_t lhash_at(size_t p) const {  // full 8-byte gram
+    uint64_t w;
+    std::memcpy(&w, base + p, 8);
+    return static_cast<uint32_t>((w * 0x9E3779B185EBCA87ull) >>
+                                 (64 - kFastHashLog));
   }
 
+  // use_long (the L2 point): adds a second single-probe table keyed on
+  // the full 8-byte gram, probed alongside the 6-gram table — the
+  // double-table strategy stock zstd uses one level above its fastest
+  // (long hits are near-certain real matches >= 8, so they displace
+  // shorter 6-gram candidates and upgrade the parse without chains).
   void compress_block_fast(size_t blk_off, size_t blk_len, int mml,
-                           std::vector<Sequence>* seqs,
+                           bool use_long, std::vector<Sequence>* seqs,
                            uint32_t* last_literals) {
     bool adaptive = mml <= 0;
     if (adaptive) mml = 4;
     if (mml < 4) mml = 4;
     seqs->clear();
     ensure_fast_tables();
+    if (use_long && lhead.empty())
+      lhead.assign(size_t(1) << kFastHashLog, -1);
     const size_t total = blk_off + blk_len;
     if (blk_len < 16) {
       *last_literals = static_cast<uint32_t>(blk_len);
@@ -1520,13 +1535,19 @@ struct StreamMatcher {
         uint32_t h = fhash_at(scan);
         int32_t cand0 = fhead[h];
         int32_t cand1 = fhead2[h];
+        int32_t candL = -1;
         fhead2[h] = cand0;
         fhead[h] = static_cast<int32_t>(scan);
+        if (use_long) {
+          uint32_t lh = lhash_at(scan);
+          candL = lhead[lh];
+          lhead[lh] = static_cast<int32_t>(scan);
+        }
         size_t lr = 0;
         if (rep && scan >= static_cast<size_t>(rep) &&
             rd32(base + scan) == rd32(base + scan - rep))
           lr = match_len_at(scan, rep);
-        for (int32_t cand : {cand0, cand1}) {
+        for (int32_t cand : {candL, cand0, cand1}) {
           if (cand < 0) continue;
           size_t cp = static_cast<size_t>(cand);
           if (cp < scan && scan - cp <= window &&
@@ -2123,9 +2144,12 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
     size_t ctx0 = std::min(range_off, window);
     qz::StreamMatcher sm(src + range_off - ctx0, ctx0 + range_len,
                          window);
-    // Fast levels (shallow greedy chains) take the single-probe matcher;
-    // its table seeds lazily, so context positions go straight into it.
-    bool fast = chain_depth <= 2 && !lazy;
+    // Fast levels (shallow greedy chains, L1-L2) take the single-probe
+    // matcher; its table seeds lazily, so context positions go straight
+    // into it. Measured on the gate corpus at L2 settings: fast 565542
+    // vs chain-4 559941 vs stock L2 572637 — both beat stock, fast is
+    // ~3x the speed for ~1% of size, the right trade for a FAST level.
+    bool fast = chain_depth <= 4 && !lazy;
     if (fast && ctx0 >= 8) {
       sm.ensure_fast_tables();
       for (size_t p = 0; p + 8 <= ctx0; p += 2) sm.insert_fast(p);
@@ -2140,8 +2164,8 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
       if (len < 64) continue;
       uint32_t last_lit = 0;
       if (fast)
-        sm.compress_block_fast(ctx0 + off - range_off, len, mml, &seqs,
-                               &last_lit);
+        sm.compress_block_fast(ctx0 + off - range_off, len, mml,
+                               chain_depth >= 3, &seqs, &last_lit);
       else
         sm.compress_block(ctx0 + off - range_off, len, chain_depth,
                           lazy != 0, mml, &seqs, &last_lit);
