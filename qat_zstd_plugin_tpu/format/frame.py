@@ -134,7 +134,8 @@ def encode_literals_section(literals: np.ndarray,
 
 def encode_block_body(block: np.ndarray, seqs: BlockSequences,
                       allow_custom_tables: bool = True,
-                      try_huffman: bool = True) -> bytes:
+                      try_huffman: bool = True,
+                      first_block: bool = False) -> bytes:
     """Compressed_Block content: literals section + sequences section."""
     assert seqs.total_span() == len(block), \
         f"sequences span {seqs.total_span()} != block {len(block)}"
@@ -152,7 +153,7 @@ def encode_block_body(block: np.ndarray, seqs: BlockSequences,
     lit_sec = encode_literals_section(literals, try_huffman)
     seq_sec = seqmod.encode_sequences(
         seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
-        allow_custom_tables)
+        allow_custom_tables, first_block=first_block)
     return lit_sec + seq_sec
 
 

@@ -134,8 +134,8 @@ def _mk_state(plan: _TablePlan, first_symbol: int):
     return fse.FseEncoder(plan.enc, first_symbol)
 
 
-def offset_values(offsets: np.ndarray, lit_lengths: np.ndarray
-                  ) -> np.ndarray:
+def offset_values(offsets: np.ndarray, lit_lengths: np.ndarray,
+                  first_block: bool = False) -> np.ndarray:
     """offset_value stream with repcode compression (RFC 8878
     §3.1.1.3.2.1.1): values 1-3 name recent-offset history slots, > 3 is
     explicit (raw + 3).
@@ -150,7 +150,10 @@ def offset_values(offsets: np.ndarray, lit_lengths: np.ndarray
     n = len(offsets)
     ofv = np.empty(n, dtype=np.int64)
     reps = [1, 4, 8]
-    known = 0  # rep slots [0, known) hold locally-determined offsets
+    # The FIRST block of a frame has the spec-guaranteed initial history
+    # [1, 4, 8] (RFC 8878 section 3.1.1.5; golden/decoder.py:350), so all
+    # three slots are usable immediately there (ADVICE r2).
+    known = 3 if first_block else 0
     for i in range(n):
         off = int(offsets[i])
         ll = int(lit_lengths[i])
@@ -190,7 +193,8 @@ def encode_sequences(lit_lengths: np.ndarray, offsets: np.ndarray,
                      match_lengths: np.ndarray,
                      allow_custom_tables: bool = True,
                      force_predefined: bool = False,
-                     use_repcodes: bool | None = None) -> bytes:
+                     use_repcodes: bool | None = None,
+                     first_block: bool = False) -> bytes:
     """Full Sequences_Section bytes for one block.
 
     lit_lengths[i]: literals preceding match i; offsets[i]: raw match offset
@@ -209,7 +213,8 @@ def encode_sequences(lit_lengths: np.ndarray, offsets: np.ndarray,
     ll = np.asarray(lit_lengths, dtype=np.int64)
     ml = np.asarray(match_lengths, dtype=np.int64)
     if use_repcodes:
-        ofv = offset_values(np.asarray(offsets, dtype=np.int64), ll)
+        ofv = offset_values(np.asarray(offsets, dtype=np.int64), ll,
+                            first_block=first_block)
     else:
         ofv = np.asarray(offsets, dtype=np.int64) + 3  # explicit
 

@@ -100,7 +100,7 @@ def compress(data: bytes | np.ndarray, level: int = 1,
         try:
             bodies.append(frame.encode_block_body(
                 blk, seqs, allow_custom_tables=p.custom_tables,
-                try_huffman=p.huffman))
+                try_huffman=p.huffman, first_block=(i == 0)))
         except ValueError:
             bodies.append(None)  # per-block fallback to raw
     return frame.assemble_frame(buf, bodies, block_size, checksum)

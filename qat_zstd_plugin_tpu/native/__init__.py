@@ -55,6 +55,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # seq arrays
         ctypes.c_size_t, ctypes.c_uint32,   # nseq, last_literals
         ctypes.c_int, ctypes.c_int,         # allow_custom, try_huffman
+        ctypes.c_int,                       # first_block (frame rep init)
         ctypes.c_void_p, ctypes.c_size_t]   # dst, cap
     lib.qz_find_sequences.restype = ctypes.c_size_t
     lib.qz_find_sequences.argtypes = [
@@ -81,8 +82,8 @@ def _load():
     lib.qz_compress_blocks_mt.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-        ctypes.c_void_p]
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.qz_xxh64_state_size.restype = ctypes.c_size_t
     lib.qz_xxh64_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.qz_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -131,8 +132,8 @@ def xxh64(data, seed: int = 0) -> int:
 
 def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
                match_lens: np.ndarray, last_literals: int,
-               allow_custom: bool = True, try_huffman: bool = True
-               ) -> bytes | None:
+               allow_custom: bool = True, try_huffman: bool = True,
+               first_block: bool = False) -> bytes | None:
     """Compressed block body from sequences; None -> caller emits raw."""
     lib = _load()
     assert lib is not None
@@ -145,7 +146,7 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
     n = lib.qz_block_body(
         block.ctypes.data, len(block), ll.ctypes.data, of.ctypes.data,
         ml.ctypes.data, len(ll), last_literals, int(allow_custom),
-        int(try_huffman), dst.ctypes.data, cap)
+        int(try_huffman), int(first_block), dst.ctypes.data, cap)
     if n == 0:
         return None
     return dst[:n].tobytes()
@@ -154,8 +155,8 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
 def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,
                        lazy: bool, allow_custom: bool = True,
                        try_huffman: bool = True, window_log: int = 0,
-                       mml: int = 4, nthreads: int = 0
-                       ) -> list[bytes | None]:
+                       mml: int = 4, nthreads: int = 0,
+                       frame_start: bool = True) -> list[bytes | None]:
     """Match + extend + entropy for every block of `buf` in one native
     call with an internal thread pool. None entries => emit raw.
     window_log > 0 enables cross-block window context (offsets reach back
@@ -173,7 +174,7 @@ def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,
     lib.qz_compress_blocks_mt(
         buf.ctypes.data, n, block_size, chain_depth, int(lazy), mml,
         int(allow_custom), int(try_huffman), window_log, nthreads,
-        arena.ctypes.data, sizes.ctypes.data)
+        int(frame_start), arena.ctypes.data, sizes.ctypes.data)
     out: list[bytes | None] = []
     for i in range(nblocks):
         sz = int(sizes[i])

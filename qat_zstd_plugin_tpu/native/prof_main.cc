@@ -16,8 +16,8 @@ extern "C" void qz_compress_blocks_mt(const uint8_t* src, size_t n,
                                       size_t block_size, int chain_depth,
                                       int lazy, int mml, int allow_custom,
                                       int try_huffman, int window_log,
-                                      int nthreads, uint8_t* dst,
-                                      uint32_t* body_sizes);
+                                      int nthreads, int frame_start,
+                                      uint8_t* dst, uint32_t* body_sizes);
 
 int main(int argc, char** argv) {
   if (argc < 2) {
@@ -46,7 +46,7 @@ int main(int argc, char** argv) {
   auto t0 = std::chrono::steady_clock::now();
   for (int it = 0; it < iters; ++it)
     qz_compress_blocks_mt(src.data(), src.size(), bs, chain_depth, lazy,
-                          mml, 1, 1, window_log, 1, dst.data(),
+                          mml, 1, 1, window_log, 1, 1, dst.data(),
                           sizes.data());
   auto t1 = std::chrono::steady_clock::now();
   double s = std::chrono::duration<double>(t1 - t0).count();

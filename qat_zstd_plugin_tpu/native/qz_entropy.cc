@@ -918,7 +918,7 @@ static bool plan_table(const std::vector<int>& codes, int kind,
 bool encode_sequences_section(const uint32_t* lit_lens,
                               const uint32_t* offsets,
                               const uint32_t* match_lens, size_t nseq,
-                              bool allow_custom,
+                              bool allow_custom, bool first_block,
                               std::vector<uint8_t>* out) {
   out->clear();
   out->reserve(nseq * 3 + 64);
@@ -944,7 +944,9 @@ bool encode_sequences_section(const uint32_t* lit_lens,
   std::vector<uint32_t> ofvs(n);
   {
     uint32_t reps[3] = {1, 4, 8};
-    int known = 0;
+    // Frame-first blocks get the spec initial history (RFC 8878
+    // 3.1.1.5): all three slots usable immediately (ADVICE r2).
+    int known = first_block ? 3 : 0;
     for (size_t i = 0; i < n; ++i) {
       uint32_t off = offsets[i];
       uint32_t ll = lit_lens[i];
@@ -1044,7 +1046,8 @@ bool encode_block_body(const uint8_t* block, size_t block_len,
                        const uint32_t* lit_lens, const uint32_t* offsets,
                        const uint32_t* match_lens, size_t nseq,
                        uint32_t last_literals, bool allow_custom,
-                       bool try_huffman, std::vector<uint8_t>* out) {
+                       bool try_huffman, bool first_block,
+                       std::vector<uint8_t>* out) {
   // Gather literal bytes.
   std::vector<uint8_t> lits;
   size_t pos = 0;
@@ -1063,7 +1066,7 @@ bool encode_block_body(const uint8_t* block, size_t block_len,
                                &lit_sec))
     return false;
   if (!encode_sequences_section(lit_lens, offsets, match_lens, nseq,
-                                allow_custom, &seq_sec))
+                                allow_custom, first_block, &seq_sec))
     return false;
   out->clear();
   out->reserve(lit_sec.size() + seq_sec.size());
@@ -1707,11 +1710,12 @@ size_t qz_block_body(const uint8_t* block, size_t block_len,
                      const uint32_t* lit_lens, const uint32_t* offsets,
                      const uint32_t* match_lens, size_t nseq,
                      uint32_t last_literals, int allow_custom,
-                     int try_huffman, uint8_t* dst, size_t dst_cap) {
+                     int try_huffman, int first_block, uint8_t* dst,
+                     size_t dst_cap) {
   std::vector<uint8_t> body;
   if (!qz::encode_block_body(block, block_len, lit_lens, offsets, match_lens,
                              nseq, last_literals, allow_custom != 0,
-                             try_huffman != 0, &body))
+                             try_huffman != 0, first_block != 0, &body))
     return 0;
   if (body.size() > dst_cap) return 0;
   std::memcpy(dst, body.data(), body.size());
@@ -2118,8 +2122,8 @@ size_t qz_find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
 void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
                            int chain_depth, int lazy, int mml,
                            int allow_custom, int try_huffman,
-                           int window_log, int nthreads, uint8_t* dst,
-                           uint32_t* body_sizes) {
+                           int window_log, int nthreads, int frame_start,
+                           uint8_t* dst, uint32_t* body_sizes) {
   size_t nblocks = n == 0 ? 0 : (n + block_size - 1) / block_size;
   size_t window = window_log > 0 ? (size_t(1) << window_log) : block_size;
   // Contiguous block ranges per thread with a STREAMING matcher: the
@@ -2180,7 +2184,7 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
       if (!qz::encode_block_body(src + off, len, ll.data(), of.data(),
                                  ml.data(), seqs.size(), last_lit,
                                  allow_custom != 0, try_huffman != 0,
-                                 &body))
+                                 frame_start != 0 && i == 0, &body))
         continue;
       if (body.size() >= len || body.size() > block_size) continue;
       std::memcpy(dst + i * block_size, body.data(), body.size());

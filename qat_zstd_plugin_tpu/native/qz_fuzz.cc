@@ -39,9 +39,9 @@ size_t qz_fill_gaps(const uint8_t*, size_t, size_t, uint32_t*, uint32_t*,
                     int);
 size_t qz_block_body(const uint8_t*, size_t, const uint32_t*,
                      const uint32_t*, const uint32_t*, size_t, uint32_t,
-                     int, int, uint8_t*, size_t);
+                     int, int, int, uint8_t*, size_t);
 void qz_compress_blocks_mt(const uint8_t*, size_t, size_t, int, int, int,
-                           int, int, int, int, uint8_t*, uint32_t*);
+                           int, int, int, int, int, uint8_t*, uint32_t*);
 }
 
 // ---------------------------------------------------------------------------
@@ -163,8 +163,8 @@ static bool target_roundtrip(const uint8_t* data, size_t n) {
   if (ns == static_cast<size_t>(-1)) return true;  // overflow -> raw
   std::vector<uint8_t> body(n + 1024);
   size_t bl = qz_block_body(data, n, ll.data(), of.data(), ml.data(), ns,
-                            last, q.custom, q.huffman, body.data(),
-                            body.size());
+                            last, q.custom, q.huffman, q.mml & 1,
+                            body.data(), body.size());
   std::vector<uint8_t> f;
   frame_begin(&f, 19);
   frame_block(&f, body.data(), bl, data, n, true);
@@ -208,8 +208,8 @@ static bool target_extend(const uint8_t* data, size_t n) {
   if (n2 == static_cast<size_t>(-1)) n2 = ns;
   std::vector<uint8_t> body(blk_len + 1024);
   size_t bl = qz_block_body(blk, blk_len, ll.data(), of.data(), ml.data(),
-                            n2, last, q.custom, q.huffman, body.data(),
-                            body.size());
+                            n2, last, q.custom, q.huffman, q.lazy,
+                            body.data(), body.size());
   std::vector<uint8_t> f;
   frame_begin(&f, 19);
   frame_block(&f, body.data(), bl, blk, blk_len, true);
@@ -224,7 +224,7 @@ static bool target_mt(const uint8_t* data, size_t n) {
   std::vector<uint8_t> arena(nb * bs);
   std::vector<uint32_t> sizes(nb);
   qz_compress_blocks_mt(data, n, bs, q.chain_depth, q.lazy, q.mml,
-                        q.custom, q.huffman, 19, 2, arena.data(),
+                        q.custom, q.huffman, 19, 2, 1, arena.data(),
                         sizes.data());
   std::vector<uint8_t> f;
   frame_begin(&f, 19);

@@ -151,7 +151,8 @@ class StreamCompressor:
             out += frame.block_header(True, frame.BLOCK_RAW, 0)
             self.blocks_emitted += 1
             return bytes(out)
-        bodies = self.codec.compress_bodies(data)
+        bodies = self.codec.compress_bodies(
+            data, frame_start=(self.blocks_emitted == 0))
         for i in range(nblocks):
             blk = data[i * bs:min((i + 1) * bs, n)]
             out += frame.emit_block(blk, bodies[i],

@@ -389,8 +389,8 @@ class TpuCodec:
         return frame.assemble_frame(buf, bodies, self.block_size, checksum,
                                     window_log=wlog)
 
-    def compress_bodies(self, buf: np.ndarray, validate: bool = False
-                        ) -> list[bytes | None]:
+    def compress_bodies(self, buf: np.ndarray, validate: bool = False,
+                        frame_start: bool = True) -> list[bytes | None]:
         """Produce per-block Compressed_Block bodies (None => raw block)."""
         buf = np.ascontiguousarray(buf, np.uint8)
         n = len(buf)
@@ -407,7 +407,7 @@ class TpuCodec:
                     buf, bs, gp.chain_depth, gp.lazy,
                     self.params.custom_tables and gp.custom_tables,
                     self.params.huffman, window_log=gp.window_log,
-                    mml=gp.mml)
+                    mml=gp.mml, frame_start=frame_start)
             per = tm.elapsed / max(1, len(bodies))
             for i, body in enumerate(bodies):
                 self.stats.record(min(n - i * bs, bs),
@@ -519,14 +519,16 @@ class TpuCodec:
             if validate:
                 golden_matcher.validate_sequences(cblk, seqs, ctx_len=ctx)
             custom = self.params.custom_tables and gp.custom_tables
+            first = frame_start and i == 0  # frame rep-history init
             if use_native:
                 return native.block_body(
                     blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
-                    seqs.last_literals, custom, self.params.huffman)
+                    seqs.last_literals, custom, self.params.huffman,
+                    first_block=first)
             try:
                 return frame.encode_block_body(
                     blk, seqs, allow_custom_tables=custom,
-                    try_huffman=self.params.huffman)
+                    try_huffman=self.params.huffman, first_block=first)
             except ValueError:
                 return None
 

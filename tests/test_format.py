@@ -254,3 +254,45 @@ def test_rle_sequence_modes():
                                    allow_custom_tables=False)
     f = frame.assemble_frame(data, [body])
     assert oracle.roundtrip_ok(f, data)
+
+
+def test_first_block_rep_history_init():
+    """The first block of a frame starts with the spec rep history
+    [1, 4, 8] (RFC 8878 3.1.1.5), so offsets 1/4/8 there may use repcode
+    values immediately (ADVICE r2). Later blocks cannot (incoming state
+    is unknown when blocks encode in parallel)."""
+    import numpy as np
+    from qat_zstd_plugin_tpu.format import sequences as seqmod
+    ll = np.array([5, 3, 7, 4, 6], np.int64)
+    of = np.array([4, 1, 8, 4, 1], np.int64)   # all in the initial set
+    ml = np.array([10, 9, 12, 8, 11], np.int64)
+    first = seqmod.encode_sequences(ll, of, ml, first_block=True)
+    later = seqmod.encode_sequences(ll, of, ml, first_block=False)
+    assert len(first) < len(later), (len(first), len(later))
+    # offset_values must name the slots directly on the first block
+    ofv = seqmod.offset_values(of, ll, first_block=True)
+    # off=4 is slot 2 (history [1,4,8]); the hit swaps it to front, so
+    # off=1 is then slot 2 again ([4,1,8]).
+    assert ofv[0] == 2 and ofv[1] == 2
+    # and fall back to explicit when history cannot contain the offset
+    ofv2 = seqmod.offset_values(of, ll, first_block=False)
+    assert ofv2[0] == 4 + 3
+
+
+def test_first_block_rep_frame_roundtrip_stock():
+    """Whole frames whose first block uses initial-history repcodes must
+    decode bit-exactly via stock libzstd (golden and native paths)."""
+    import numpy as np
+    from qat_zstd_plugin_tpu import native, oracle
+    from qat_zstd_plugin_tpu.golden import codec as golden_codec
+    from qat_zstd_plugin_tpu.runtime.tpu_codec import TpuCodec
+    if not oracle.available():
+        pytest.skip("oracle missing")
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, 200000, np.uint8).tobytes()
+    data = (b"wxyz" * 40)[:161] + noise  # early offset-4 matches, then mix
+    f = golden_codec.compress(data, level=1)
+    assert oracle.roundtrip_ok(f, data)
+    if native.available():
+        f2 = TpuCodec(level=1, use_device=False).compress(data)
+        assert oracle.roundtrip_ok(f2, data)
