@@ -263,14 +263,23 @@ def main() -> None:
     except Exception as exc:  # keep the primary row alive
         print(f"device_entropy row failed: {exc!r}", file=sys.stderr)
 
-    # --- software A/B on the same corpus/level (reference -m0 analog)
-    cpu_mbs = cpu_ratio = None
+    # --- software A/B on the same corpus/level (reference -m0 analog).
+    # Median-of-3: this box's spare CPU swings wildly (observed 17->270
+    # MB/s for the same call when relay/driver processes wake), so a
+    # single-shot number is not a measurement.
+    cpu_mbs = cpu_ratio = cpu_spread = None
     try:
         cpu_codec = TpuCodec(level=LEVEL, use_device=False)
         cpu_codec.compress(e2e_data[: 4 << 20])  # warm
-        t0 = time.perf_counter()
-        cpu_frame = cpu_codec.compress(e2e_data)
-        cpu_mbs = round(len(e2e_data) / (time.perf_counter() - t0) / 1e6, 1)
+        cpu_samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cpu_frame = cpu_codec.compress(e2e_data)
+            cpu_samples.append(
+                len(e2e_data) / (time.perf_counter() - t0) / 1e6)
+        med, spr = _median_spread(cpu_samples)
+        cpu_mbs = round(med, 1)
+        cpu_spread = round(spr, 3)
         cpu_ratio = round(len(cpu_frame) / len(e2e_data), 4)
     except Exception as exc:
         print(f"cpu_native row failed: {exc!r}", file=sys.stderr)
@@ -297,6 +306,7 @@ def main() -> None:
         "device_entropy_ratio": de_ratio,
         "device_entropy_bitexact": de_ok,
         "cpu_native_mbs": cpu_mbs,
+        "cpu_native_spread": cpu_spread,
         "cpu_native_ratio": cpu_ratio,
         "stock_ratio": stock_ratio,
         "corpus_mb": CORPUS_MB,
