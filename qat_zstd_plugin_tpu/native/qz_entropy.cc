@@ -429,6 +429,7 @@ bool build_huffman(const int64_t* hist, HuffmanTable* t) {
   // Pools keep every level's items alive so packages can reference
   // children by (level, index); level 0 = previous round's packages.
   std::vector<std::vector<Item>> pools(1);
+  pools.reserve(MAX_CODE_BITS + 1);
   std::vector<Item> prev;  // packages from the previous round
   // Each round's pool is merge(leaves, prev): both inputs are already
   // sorted (prev's package freqs are sums of consecutive pairs of a
@@ -440,12 +441,14 @@ bool build_huffman(const int64_t* hist, HuffmanTable* t) {
     return x.freq < y.freq;
   };
   for (int round = 0; round < MAX_CODE_BITS - 1; ++round) {
-    std::vector<Item> cur(leaves.size() + prev.size());
+    std::vector<Item> merged(leaves.size() + prev.size());
     std::merge(leaves.begin(), leaves.end(), prev.begin(), prev.end(),
-               cur.begin(), freq_lt);
-    pools.push_back(cur);
+               merged.begin(), freq_lt);
+    pools.push_back(std::move(merged));
+    const std::vector<Item>& cur = pools.back();
     const int pool_id = static_cast<int>(pools.size()) - 1;
     std::vector<Item> nxt;
+    nxt.reserve(cur.size() / 2);
     for (size_t i = 0; i + 1 < cur.size(); i += 2) {
       // Children referenced as pool_id * 65536 + index.
       nxt.push_back({cur[i].freq + cur[i + 1].freq, -1,
@@ -459,6 +462,7 @@ bool build_huffman(const int64_t* hist, HuffmanTable* t) {
              top.begin(), freq_lt);
   std::vector<int64_t> lengths(256, 0);
   std::vector<std::pair<int, int>> stack;  // (pool, index); (-1,i)=top
+  stack.reserve(4 * static_cast<size_t>(n));
   for (int i = 0; i < 2 * n - 2; ++i) stack.push_back({-1, i});
   while (!stack.empty()) {
     auto [pool, idx] = stack.back();
@@ -941,7 +945,8 @@ bool encode_sequences_section(const uint32_t* lit_lens,
   // 1-3 name recent-offset slots. Incoming cross-block rep state is
   // unknown (blocks encode in parallel), so a slot is only used once
   // locally determined by explicit pushes.
-  std::vector<uint32_t> ofvs(n);
+  static thread_local std::vector<uint32_t> ofvs;  // per-block scratch
+  ofvs.resize(n);
   {
     uint32_t reps[3] = {1, 4, 8};
     // Frame-first blocks get the spec initial history (RFC 8878
@@ -988,7 +993,10 @@ bool encode_sequences_section(const uint32_t* lit_lens,
       ofvs[i] = v;
     }
   }
-  std::vector<int> llc(n), ofc(n), mlc(n);
+  static thread_local std::vector<int> llc, ofc, mlc;  // scratch
+  llc.resize(n);
+  ofc.resize(n);
+  mlc.resize(n);
   for (size_t i = 0; i < n; ++i) {
     llc[i] = ll_code(lit_lens[i]);
     mlc[i] = ml_code(match_lens[i]);
