@@ -212,7 +212,7 @@ def main() -> None:
 
             ch = _chain_timer(run_lvl, lambda out: out[0, 0])
             ch(1)
-            ss = _sample_mbs(ch, lb * BLOCK, 3, span=8)
+            ss = _sample_mbs(ch, lb * BLOCK, 4, span=8)
             ladder[f"L{lvl}"] = round(_median_spread(ss)[0], 1)
         except Exception as exc:
             print(f"ladder L{lvl} failed: {exc!r}", file=sys.stderr)
