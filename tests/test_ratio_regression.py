@@ -2,8 +2,10 @@
 
 Bounds have headroom (~1.02x of measured) so legitimate refactors pass but
 real regressions (lost matches, broken cost model, table selection bugs)
-fail loudly. Measured reference points (round 1, mixed 2MB corpus):
-  host path L1 27.9%, L9 ~27%, device-entropy L1 34.2%, CPU-native L1 28.x%.
+fail loudly. Measured reference points (late round 3, mixed 2MB corpus):
+  device L1 27.55% (argmin-parity syncmer), device-entropy L1 28.4%,
+  CPU-native L1 26.98% / L2 26.09% (fast + double-table matchers),
+  stock zstd L1 27.12%.
 """
 
 import numpy as np
