@@ -148,6 +148,32 @@ def compress_via_libzstd(data: bytes, level: int = 1,
         free_seqprod_state(st)
 
 
+def compress_stream_via_libzstd(data: bytes, level: int = 1,
+                                use_device: bool = False,
+                                chunk_size: int = 64 * 1024,
+                                flush_every: int = 0,
+                                search_repcodes: bool = False) -> bytes:
+    """The reference's CLI deployment shape: stock libzstd's STREAMING
+    compressor (ZSTD_compressStream2, the API the patched zstd CLI pumps
+    — reference README.md:180-217) with our producer registered. Chunked
+    pumps and explicit flush points exercise the partial-window and
+    forced-block-boundary producer interactions ZSTD_compress2 never
+    reaches (zstd's stream_round_trip fuzz family,
+    reference test/fuzzing/README.md:17-28)."""
+    from . import oracle
+    st = create_seqprod_state(level=level, use_device=use_device)
+    try:
+        def produce(block, lvl, wsize):
+            out = sequence_producer(st, block, window_size=wsize)
+            return None if out is SEQUENCE_PRODUCER_ERROR else out
+        return oracle.compress_stream_with_producer(
+            data, produce, level=level, fallback=True,
+            chunk_size=chunk_size, flush_every=flush_every,
+            search_repcodes=search_repcodes)
+    finally:
+        free_seqprod_state(st)
+
+
 def compress(data: bytes | np.ndarray, level: int = 1,
              block_size: int = BLOCK_SIZE_MAX, checksum: bool = True,
              use_device: bool | None = None, batch: int = 8) -> bytes:

@@ -41,9 +41,13 @@ struct BackwardBitWriter {
     acc |= value << nbits;
     nbits += nb;
     if (nbits >= 32) {
+      // Explicit LE byte order (endian-neutral, unlike a memcpy of the
+      // accumulator word — advisor r3 finding).
       uint32_t word = static_cast<uint32_t>(acc);
-      out.insert(out.end(), reinterpret_cast<uint8_t*>(&word),
-                 reinterpret_cast<uint8_t*>(&word) + 4);
+      out.push_back(static_cast<uint8_t>(word));
+      out.push_back(static_cast<uint8_t>(word >> 8));
+      out.push_back(static_cast<uint8_t>(word >> 16));
+      out.push_back(static_cast<uint8_t>(word >> 24));
       acc >>= 32;
       nbits -= 32;
     }
@@ -610,9 +614,13 @@ static std::vector<uint8_t> huf_stream(const uint8_t* data, size_t n,
     acc |= static_cast<uint64_t>(e & 0xFFF) << nbits;
     nbits += e >> 12;
     if (nbits >= 32) {
+      // Explicit LE byte order (endian-neutral, unlike a memcpy of the
+      // accumulator word — advisor r3 finding).
       uint32_t word = static_cast<uint32_t>(acc);
-      out.insert(out.end(), reinterpret_cast<uint8_t*>(&word),
-                 reinterpret_cast<uint8_t*>(&word) + 4);
+      out.push_back(static_cast<uint8_t>(word));
+      out.push_back(static_cast<uint8_t>(word >> 8));
+      out.push_back(static_cast<uint8_t>(word >> 16));
+      out.push_back(static_cast<uint8_t>(word >> 24));
       acc >>= 32;
       nbits -= 32;
     }
@@ -1312,14 +1320,25 @@ struct StreamMatcher {
   size_t range_len;
   size_t window;        // max offset (1 << window_log)
   static constexpr int kHashLog = 17;
-  static constexpr size_t kRingLog = 20;  // 1M entries: 2x a 512K window
+  size_t ring_mask;  // sized from the window (advisor r3: a fixed 2^20
+                     // ring aliased under 2-4 MiB windows, silently
+                     // truncating chains the window nominally grants)
   std::vector<int32_t> head;
   std::vector<int32_t> ring;
 
+  static size_t ring_entries(size_t win) {
+    // >= 2x the window so live chain links never alias, clamped to
+    // [2^17, 2^23] (a 4 MiB window gets the full 2^23 = 32 MB ring).
+    size_t e = size_t(1) << 17;
+    while (e < 2 * win && e < (size_t(1) << 23)) e <<= 1;
+    return e;
+  }
+
   StreamMatcher(const uint8_t* b, size_t len, size_t win)
       : base(b), range_len(len), window(win),
+        ring_mask(ring_entries(win) - 1),
         head(size_t(1) << kHashLog, -1),
-        ring(size_t(1) << kRingLog, -1) {}
+        ring(ring_entries(win), -1) {}
 
   uint32_t hash_at(size_t p) const {
     uint32_t w;
@@ -1328,7 +1347,7 @@ struct StreamMatcher {
   }
   void insert(size_t p) {
     uint32_t h = hash_at(p);
-    ring[p & ((size_t(1) << kRingLog) - 1)] = head[h];
+    ring[p & ring_mask] = head[h];
     head[h] = static_cast<int32_t>(p);
   }
 
@@ -1348,7 +1367,7 @@ struct StreamMatcher {
       return;
     }
     const size_t total = blk_off + blk_len;
-    const size_t rmask = (size_t(1) << kRingLog) - 1;
+    const size_t rmask = ring_mask;
     auto best_match = [&](size_t p, uint32_t* off) -> size_t {
       size_t limit = total - p;
       if (limit < 3) return 0;
@@ -1460,6 +1479,15 @@ struct StreamMatcher {
       prune_sequences(base + blk_off, blk_len, seqs, last_literals);
   }
 
+#ifndef QZ_FAST_INS_STRIDE
+#define QZ_FAST_INS_STRIDE 2
+#endif
+#ifndef QZ_FAST_REP_MIN
+#define QZ_FAST_REP_MIN 4
+#endif
+#ifndef QZ_FAST_REP_BONUS
+#define QZ_FAST_REP_BONUS 8
+#endif
   // ---- Single-probe fast matcher (the fast-level strategy) ----
   //
   // Stock zstd maps its fastest levels to exactly this shape (one hash
@@ -1558,27 +1586,42 @@ struct StreamMatcher {
         if (rep && scan >= static_cast<size_t>(rep) &&
             rd32(base + scan) == rd32(base + scan - rep))
           lr = match_len_at(scan, rep);
+        // Score competition, offset-aware (r4 redesign; measured on the
+        // multi-corpus probe): a rep continuation scores its full length
+        // (of_val=1 costs zero offset bits and keeps the rep chain
+        // alive); a table candidate pays its offset bits (~1 byte per 8)
+        // plus a flat explicit-offset penalty. Longest-wins scattered
+        // the offset distribution (+16% vs stock on structured records);
+        // unconditional rep-first truncated matches (+19%); the priced
+        // compromise beats both on every probe corpus.
+        int best_score = lr >= QZ_FAST_REP_MIN
+                             ? static_cast<int>(lr) * 8
+                             : INT32_MIN;
+        if (best_score > INT32_MIN) {
+          len = lr;
+          off = rep;
+        }
         for (int32_t cand : {candL, cand0, cand1}) {
           if (cand < 0) continue;
           size_t cp = static_cast<size_t>(cand);
           if (cp < scan && scan - cp <= window &&
               rd32(base + cp) == rd32(base + scan)) {
-            size_t l = match_len_at(scan, static_cast<uint32_t>(scan - cp));
+            size_t l = match_len_at(scan,
+                                    static_cast<uint32_t>(scan - cp));
             uint32_t o = static_cast<uint32_t>(scan - cp);
             // Same cost floor as the chain matcher: short matches pay
-            // only when near; rep continuations bypass below.
+            // only when near.
             bool ok = l >= static_cast<size_t>(mml) ||
                       (l >= 4 && o <= 1024);
             if (l < 6 && o > 65536) ok = false;
-            if (ok && l > lr + 2 && l > len) {  // rep wins near ties
+            int score = static_cast<int>(l) * 8 - highbit(o) -
+                        QZ_FAST_REP_BONUS;
+            if (ok && score > best_score) {
+              best_score = score;
               len = l;
               off = o;
             }
           }
-        }
-        if (lr >= 4 && lr + 2 >= len) {
-          len = lr;
-          off = rep;
         }
         if (len) break;
         scan += 1 + ((scan - lit_start) >> 8);
@@ -1594,13 +1637,11 @@ struct StreamMatcher {
                        static_cast<uint32_t>(len)});
       rep = off;
       size_t end = scan + len;
-      // Sparse in-match inserts (the single-probe analog of the chain
-      // matcher's strided insert): the match head was stored by the
-      // probe; add one early and one tail position.
+      // In-match inserts, stride QZ_FAST_INS_STRIDE (diag knob).
       {
         size_t q = scan + 2;
         size_t qe = std::min(end >= 2 ? end - 2 : 0, safe_end);
-        size_t qstep = len <= 32 ? 8 : len / 4;
+        size_t qstep = QZ_FAST_INS_STRIDE;
         while (q <= qe && q <= safe_end) {
           insert_fast(q);
           q += qstep;
@@ -1775,10 +1816,16 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
   const int hash_log = 17;
   std::vector<int32_t> head(size_t(1) << hash_log, -1);
   std::vector<int32_t> prev(total, -1);
+  // 6-byte-gram hash (stock L1's mls): 4-gram chains on text are so
+  // overloaded that a depth-4 walk never surfaces the 6-8 byte matches
+  // the gaps actually hold (measured: stock emits 10k 6-8B matches per
+  // text block, the 4-gram fill found 2/3 of them). Callers need 8
+  // readable bytes per hashed position.
   auto hash_at = [&](size_t p) {
-    uint32_t w;
-    std::memcpy(&w, base + p, 4);
-    return (w * 2654435761u) >> (32 - hash_log);
+    uint64_t w;
+    std::memcpy(&w, base + p, 8);
+    return static_cast<uint32_t>(((w << 16) * 0x9E3779B185EBCA87ull) >>
+                                 (64 - hash_log));
   };
   auto insert = [&](size_t p) {
     uint32_t h = hash_at(p);
@@ -1796,39 +1843,56 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
     if (lit_lens[i] >= static_cast<uint32_t>(min_gap))
       gap_bytes += lit_lens[i];
   size_t ctx_stride = gap_bytes >= 8192 ? 2 : (gap_bytes >= 1024 ? 4 : 8);
-  for (size_t p = 0; p + 4 <= ctx_len; p += ctx_stride) insert(p);
+  for (size_t p = 0; p + 8 <= ctx_len; p += ctx_stride) insert(p);
   {
     size_t pos = ctx_len;
     for (size_t i = 0; i < nseq; ++i) {
       pos += lit_lens[i];
       size_t end = pos + match_lens[i];
-      for (size_t p = pos; p + 4 <= std::min(end, total); p += 2)
+      for (size_t p = pos; p + 8 <= std::min(end, total); p += 2)
         insert(p);
       pos = end;
     }
   }
+  // Rep state threaded through the WHOLE walk (emitted gap matches and
+  // the original sequences both advance it, mirroring the decoder's
+  // view): a gap match at the current rep offset costs ZERO offset bits
+  // (of_val=1) and leaves the stream's offset distribution untouched, so
+  // it is priced far below a fresh explicit offset (VERDICT r4:
+  // repcode-aware gap-fill).
+  uint32_t rep = 0;
   auto match_gap = [&](size_t p, size_t ge, uint32_t* off) -> size_t {
     size_t limit = std::min(ge, total) - p;
-    if (limit < 4) return 0;
+    if (limit < 3) return 0;
+    size_t lrep = 0;
+    if (rep && p >= static_cast<size_t>(rep)) {
+      const uint8_t* a = base + p;
+      const uint8_t* b = a - rep;
+      while (lrep + 8 <= limit && qz::rd64(a + lrep) == qz::rd64(b + lrep))
+        lrep += 8;
+      while (lrep < limit && a[lrep] == b[lrep]) ++lrep;
+    }
     size_t best = 0;
     uint32_t boff = 0;
-    int32_t cand = head[hash_at(p)];
-    int depth = chain_depth < 4 ? 4 : chain_depth;
-    while (cand >= 0 && depth > 0) {
-      if (static_cast<size_t>(cand) < p) {  // skip later-seeded entries
-        size_t l = 0;
-        const uint8_t* a = base + cand;
-        const uint8_t* b = base + p;
-        while (l + 8 <= limit && qz::rd64(a + l) == qz::rd64(b + l))
-          l += 8;
-        while (l < limit && a[l] == b[l]) ++l;
-        if (l > best) {
-          best = l;
-          boff = static_cast<uint32_t>(p - cand);
+    if (limit >= 4 && p + 8 <= total) {  // hash_at reads 8 bytes
+      int32_t cand = head[hash_at(p)];
+      int depth = chain_depth < 4 ? 4 : chain_depth;
+      while (cand >= 0 && depth > 0) {
+        if (static_cast<size_t>(cand) < p) {  // skip later-seeded entries
+          size_t l = 0;
+          const uint8_t* a = base + cand;
+          const uint8_t* b = base + p;
+          while (l + 8 <= limit && qz::rd64(a + l) == qz::rd64(b + l))
+            l += 8;
+          while (l < limit && a[l] == b[l]) ++l;
+          if (l > best) {
+            best = l;
+            boff = static_cast<uint32_t>(p - cand);
+          }
+          --depth;
         }
-        --depth;
+        cand = prev[cand];
       }
-      cand = prev[cand];
     }
     // Stricter economics than the primary matcher: a gap match also
     // perturbs the established LL/ML/OF code distributions and the rep
@@ -1846,7 +1910,18 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
       worth = (best >= 12) || (best >= 8 && boff <= 65536) ||
               (best >= static_cast<size_t>(mml) && boff <= 1024);
     }
-    if (!worth) return 0;
+    if (!worth) best = 0;
+    // Scored competition: the rep continuation pays no offset bits and
+    // bypasses the economics filter entirely (it cannot perturb what it
+    // repeats); an explicit candidate pays ~1 byte per 8 offset bits.
+    int sc_rep = lrep >= 3 ? static_cast<int>(lrep) * 8 : INT32_MIN;
+    int sc_cand = best ? static_cast<int>(best) * 8 - qz::highbit(boff)
+                       : INT32_MIN;
+    if (sc_rep >= sc_cand) {
+      if (lrep < 3) return 0;
+      *off = rep;
+      return lrep;
+    }
     *off = boff;
     return best;
   };
@@ -1862,7 +1937,7 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
       uint32_t off = 0;
       size_t len = match_gap(p, ge, &off);
       if (len == 0) {
-        insert(p);
+        if (p + 8 <= total) insert(p);  // hash_at reads 8 bytes
         ++p;
         continue;
       }
@@ -1874,9 +1949,10 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
       }
       out.push_back({static_cast<uint32_t>(*lead_lit + (p - lit_from)),
                      off, static_cast<uint32_t>(len)});
+      rep = off;
       *lead_lit = 0;
       size_t end = p + len;
-      for (size_t q = p; q + 4 <= end; q += 2) insert(q);
+      for (size_t q = p; q + 8 <= end; q += 2) insert(q);
       p = end;
       lit_from = end;
     }
@@ -1894,6 +1970,7 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
       lead += lit_lens[i];
     out.push_back({static_cast<uint32_t>(lead), offsets[i],
                    match_lens[i]});
+    rep = offsets[i];
     lead = 0;
     pos = ge + match_lens[i];
   }
@@ -1974,15 +2051,22 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     // Repcode probe: also try the recently emitted offsets (stock
     // zstd's matchers check reps at every position — this is where the
     // device path recovers that, e.g. resuming a long-distance match
-    // right after a small edit broke it). Preferred on ties: rep
-    // offsets are the cheapest codes the entropy coder has.
-    for (int r = 0; r < 3; ++r) {
-      uint32_t ro = rep[r];
-      if (ro && ro != off && ro <= ctx_len + new_start) {
-        size_t lr = lcp_at(new_start, ro);
-        if (lr >= l && lr >= 3) {
-          off = ro;
-          l = lr;
+    // right after a small edit broke it). Scored, not tie-broken: a rep
+    // costs no offset bits, so it may be up to highbit(off)/8 bytes
+    // SHORTER than the claim and still win (r4 parse economics).
+    {
+      int sc = l >= 3 ? static_cast<int>(l) * 8 - qz::highbit(off | 1)
+                      : INT32_MIN;
+      for (int r = 0; r < 3; ++r) {
+        uint32_t ro = rep[r];
+        if (ro && ro != off && ro <= ctx_len + new_start) {
+          size_t lr = lcp_at(new_start, ro);
+          int sr = lr >= 3 ? static_cast<int>(lr) * 8 : INT32_MIN;
+          if (sr >= sc && lr >= 3) {
+            off = ro;
+            l = lr;
+            sc = sr;
+          }
         }
       }
     }
@@ -2143,10 +2227,16 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
   // context, mirroring block 0 of any buffer. Blocks stay independent
   // in the FORMAT (offsets reach raw input bytes only), so per-range
   // streaming changes which matches are found, never their validity.
-  int nt = (nthreads <= 1 || nblocks <= 1)
+  // Range partitioning is derived from INPUT SIZE, not thread count
+  // (advisor r3: nthreads-derived ranges made compressed bytes vary with
+  // machine core count). Fixed 32-block (4 MiB) streaming ranges keep
+  // output reproducible on any host; nthreads only sets concurrency.
+  constexpr size_t kBlocksPerRange = 32;
+  size_t nranges = nblocks == 0 ? 0 : (nblocks + kBlocksPerRange - 1)
+                                          / kBlocksPerRange;
+  int nt = (nthreads <= 1 || nranges <= 1)
                ? 1
-               : static_cast<int>(std::min<size_t>(nthreads, nblocks));
-  size_t per = (nblocks + nt - 1) / nt;
+               : static_cast<int>(std::min<size_t>(nthreads, nranges));
   auto worker = [&](size_t b0, size_t b1) {
     if (b0 >= b1) return;
     size_t range_off = b0 * block_size;
@@ -2203,9 +2293,16 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
     worker(0, nblocks);
     return;
   }
+  // Each worker drains ranges round-robin; range boundaries (and thus the
+  // compressed bytes) are identical regardless of nt.
+  auto run_ranges = [&](int t) {
+    for (size_t r = static_cast<size_t>(t); r < nranges;
+         r += static_cast<size_t>(nt))
+      worker(r * kBlocksPerRange,
+             std::min(nblocks, (r + 1) * kBlocksPerRange));
+  };
   std::vector<std::thread> pool;
-  for (int t = 0; t < nt; ++t)
-    pool.emplace_back(worker, t * per, std::min(nblocks, (t + 1) * per));
+  for (int t = 0; t < nt; ++t) pool.emplace_back(run_ranges, t);
   for (auto& t : pool) t.join();
 }
 

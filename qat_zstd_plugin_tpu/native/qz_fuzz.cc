@@ -216,6 +216,99 @@ static bool target_extend(const uint8_t* data, size_t n) {
   return oracle_check(f, blk, blk_len);
 }
 
+// Streaming producer target: our matcher registered as libzstd's external
+// sequence producer, driven through ZSTD_compressStream2 with fuzzed chunk
+// sizes and flush points — the integration zstd's stream_round_trip fuzz
+// family exercises (reference test/fuzzing/README.md:17-28). Uses the
+// experimental API straight from the shared lib (same route the Python
+// oracle takes).
+struct FzSequence {
+  unsigned offset, litLength, matchLength, rep;
+};
+typedef size_t (*FzSeqProd)(void*, FzSequence*, size_t, const void*, size_t,
+                            const void*, size_t, int, size_t);
+extern "C" void ZSTD_registerSequenceProducer(ZSTD_CCtx*, void*, FzSeqProd);
+
+static size_t fuzz_produce(void*, FzSequence* out, size_t cap,
+                           const void* src, size_t src_size, const void*,
+                           size_t dict_size, int clevel, size_t window) {
+  const size_t kErr = static_cast<size_t>(-1);
+  if (dict_size || src_size > 131072) return kErr;
+  if (window < std::min<size_t>(src_size, 32768)) return kErr;
+  if (src_size < 16) {
+    if (cap < 1) return kErr;
+    out[0] = {0, static_cast<unsigned>(src_size), 0, 0};
+    return 1;
+  }
+  // Level-dependent matcher params (the same axes create_seqprod_state
+  // spans): fuzzed levels reach the fast single-probe path (depth<=2),
+  // the chain matcher, lazy evaluation, and mml 3.
+  int depth = clevel <= 2 ? clevel : (clevel < 8 ? 4 : 16);
+  int lazy = clevel >= 5 ? 1 : 0;
+  int mml = clevel >= 8 ? 3 : 4;
+  size_t scap = src_size / 3 + 16;
+  std::vector<uint32_t> ll(scap), of(scap), ml(scap);
+  uint32_t last = 0;
+  size_t ns = qz_find_sequences(static_cast<const uint8_t*>(src), 0,
+                                src_size, depth, lazy, mml, ll.data(),
+                                of.data(), ml.data(), scap, &last);
+  if (ns == static_cast<size_t>(-1) || ns + 1 > cap) return kErr;
+  for (size_t i = 0; i < ns; ++i)
+    out[i] = {of[i], ll[i], ml[i], 0};
+  out[ns] = {0, last, 0, 0};
+  return ns + 1;
+}
+
+static bool target_stream(const uint8_t* data, size_t n) {
+  if (n < 8) return true;
+  size_t chunk = 1 + (data[0] | (data[1] << 8));          // 1..65536
+  int flush_every = data[2] & 7;                          // 0..7 chunks
+  int level = 1 + (data[3] % 12);
+  data += 4;
+  n -= 4;
+  ZSTD_CCtx* c = ZSTD_createCCtx();
+  if (!c) return true;
+  ZSTD_CCtx_setParameter(c, static_cast<ZSTD_cParameter>(100), level);
+  ZSTD_CCtx_setParameter(c, static_cast<ZSTD_cParameter>(1014), 1);
+  ZSTD_registerSequenceProducer(c, nullptr, fuzz_produce);
+  std::vector<uint8_t> out;
+  std::vector<uint8_t> obuf(1 << 16);
+  bool ok = true;
+  int nchunks = 0;
+  for (size_t s = 0; s < n && ok; s += chunk) {
+    size_t len = std::min(chunk, n - s);
+    ZSTD_inBuffer ib{data + s, len, 0};
+    bool lastc = s + len >= n;
+    ++nchunks;
+    ZSTD_EndDirective mode =
+        lastc ? ZSTD_e_end
+              : (flush_every && nchunks % flush_every == 0 ? ZSTD_e_flush
+                                                           : ZSTD_e_continue);
+    while (true) {
+      ZSTD_outBuffer ob{obuf.data(), obuf.size(), 0};
+      size_t r = ZSTD_compressStream2(c, &ob, &ib, mode);
+      if (ZSTD_isError(r)) {
+        fprintf(stderr, "STREAM: compress error: %s\n",
+                ZSTD_getErrorName(r));
+        ok = false;
+        break;
+      }
+      out.insert(out.end(), obuf.data(), obuf.data() + ob.pos);
+      if (mode == ZSTD_e_continue ? ib.pos == ib.size : r == 0) break;
+    }
+  }
+  if (n == 0) {  // empty input still needs an end pump
+    ZSTD_inBuffer ib{data, 0, 0};
+    ZSTD_outBuffer ob{obuf.data(), obuf.size(), 0};
+    while (ZSTD_compressStream2(c, &ob, &ib, ZSTD_e_end) != 0) {
+    }
+    out.insert(out.end(), obuf.data(), obuf.data() + ob.pos);
+  }
+  ZSTD_freeCCtx(c);
+  if (!ok) return false;
+  return oracle_check(out, data, n);
+}
+
 static bool target_mt(const uint8_t* data, size_t n) {
   Params q = carve(data, n);
   if (n < 64 || n > 131072) return true;
@@ -308,7 +401,8 @@ static std::vector<uint8_t> mutate(const std::vector<uint8_t>& in,
 
 int main(int argc, char** argv) {
   if (argc < 4) {
-    fprintf(stderr, "usage: %s <roundtrip|extend|mt> <seconds> <dir>\n",
+    fprintf(stderr,
+            "usage: %s <roundtrip|extend|mt|stream> <seconds> <dir>\n",
             argv[0]);
     return 2;
   }
@@ -319,6 +413,7 @@ int main(int argc, char** argv) {
   bool (*fn)(const uint8_t*, size_t) =
       target == "roundtrip" ? target_roundtrip
       : target == "extend"  ? target_extend
+      : target == "stream"  ? target_stream
                             : target_mt;
 
   // Seeds: structured text, runs, random, repeats (aligned + misaligned).

@@ -230,3 +230,209 @@ _producer_tls = threading.local()
 def last_producer_stats() -> dict | None:
     """Stats of this thread's most recent compress_with_producer call."""
     return getattr(_producer_tls, "stats", None)
+
+
+# ---------------------------------------------------------------------------
+# Streaming compression (ZSTD_compressStream2) with the producer registered.
+# The reference's real deployment is the patched zstd CLI, which pumps
+# ZSTD_compressStream2 (reference README.md:180-217), and its fuzz suite
+# drives the producer through zstd's stream_round_trip targets
+# (test/fuzzing/README.md:17-28). This is that integration shape: chunked
+# input pumps, optional explicit flush points, producer called per block.
+
+class ZstdInBuffer(ctypes.Structure):
+    _fields_ = [("src", ctypes.c_void_p), ("size", ctypes.c_size_t),
+                ("pos", ctypes.c_size_t)]
+
+
+class ZstdOutBuffer(ctypes.Structure):
+    _fields_ = [("dst", ctypes.c_void_p), ("size", ctypes.c_size_t),
+                ("pos", ctypes.c_size_t)]
+
+
+ZSTD_e_continue, ZSTD_e_flush, ZSTD_e_end = 0, 1, 2
+
+
+@lru_cache(maxsize=1)
+def _stream_lib():
+    lib = _cctx_lib()
+    lib.ZSTD_compressStream2.restype = ctypes.c_size_t
+    lib.ZSTD_compressStream2.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ZstdOutBuffer),
+        ctypes.POINTER(ZstdInBuffer), ctypes.c_int]
+    lib.ZSTD_CCtx_loadDictionary.restype = ctypes.c_size_t
+    lib.ZSTD_CCtx_loadDictionary.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    return lib
+
+
+def compress_stream_with_producer(data: bytes, produce, level: int = 1,
+                                  fallback: bool = True,
+                                  chunk_size: int = 64 << 10,
+                                  flush_every: int = 0,
+                                  search_repcodes: bool = False) -> bytes:
+    """ZSTD_compressStream2 with `produce` registered as the external
+    sequence producer: `data` is pumped in `chunk_size` pieces with
+    ZSTD_e_continue, an explicit ZSTD_e_flush every `flush_every` chunks
+    (0 = never), and a final ZSTD_e_end. Exercises the litLimit/window
+    interactions ZSTD_compress2 never reaches (streaming blocks see
+    partial windows and flush-forced block boundaries).
+
+    `produce` has the same contract as compress_with_producer's; pass
+    None to stream without a producer (stock baseline).
+    """
+    lib = _stream_lib()
+    calls = {"blocks": 0, "errors": 0}
+
+    @SEQPROD_CFUNC
+    def cb(_state, out_seqs, cap, src, src_size, _dict, dict_size, clevel,
+           wsize):
+        try:
+            if dict_size:  # dictionaries unsupported (src/qatseqprod.h:98)
+                calls["errors"] += 1
+                return ZSTD_SEQUENCE_PRODUCER_ERROR
+            block = ctypes.string_at(src, src_size)
+            seqs = produce(block, clevel, wsize)
+            if seqs is None or len(seqs) > cap:
+                calls["errors"] += 1
+                return ZSTD_SEQUENCE_PRODUCER_ERROR
+            for i, (off, lit, ml) in enumerate(seqs):
+                out_seqs[i] = ZstdSequence(off, lit, ml, 0)
+            calls["blocks"] += 1
+            return len(seqs)
+        except Exception:
+            calls["errors"] += 1
+            return ZSTD_SEQUENCE_PRODUCER_ERROR
+
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        raise ZstdOracleError("ZSTD_createCCtx failed")
+    out = bytearray()
+    try:
+        for param, val in ((ZSTD_c_compressionLevel, level),
+                           (ZSTD_c_enableSeqProducerFallback, int(fallback)),
+                           (ZSTD_c_searchForExternalRepcodes,
+                            ZSTD_ps_enable if search_repcodes else 0)):
+            r = lib.ZSTD_CCtx_setParameter(cctx, param, val)
+            if lib.ZSTD_isError(r):
+                raise ZstdOracleError(
+                    f"setParameter({param}) failed: "
+                    f"{lib.ZSTD_getErrorName(r).decode()}")
+        if produce is not None:
+            lib.ZSTD_registerSequenceProducer(cctx, None, cb)
+        obuf_cap = 1 << 17
+        obuf = ctypes.create_string_buffer(obuf_cap)
+
+        def pump(inb, mode) -> None:
+            while True:
+                ob = ZstdOutBuffer(ctypes.cast(obuf, ctypes.c_void_p),
+                                   obuf_cap, 0)
+                ret = lib.ZSTD_compressStream2(cctx, ctypes.byref(ob),
+                                               ctypes.byref(inb), mode)
+                if lib.ZSTD_isError(ret):
+                    raise ZstdOracleError(
+                        "compressStream2 failed: "
+                        f"{lib.ZSTD_getErrorName(ret).decode()}")
+                out.extend(obuf.raw[:ob.pos])
+                if mode == ZSTD_e_continue:
+                    if inb.pos == inb.size:
+                        return
+                elif ret == 0:  # flush/end complete
+                    return
+
+        nchunks = 0
+        view = memoryview(data)
+        holders = []  # keep chunk buffers alive across the pump
+        for s in range(0, max(len(data), 1), chunk_size):
+            chunk = bytes(view[s:s + chunk_size])
+            holders.append(chunk)
+            inb = ZstdInBuffer(
+                ctypes.cast(ctypes.c_char_p(chunk), ctypes.c_void_p),
+                len(chunk), 0)
+            pump(inb, ZSTD_e_continue)
+            nchunks += 1
+            if flush_every and nchunks % flush_every == 0:
+                pump(ZstdInBuffer(None, 0, 0), ZSTD_e_flush)
+        pump(ZstdInBuffer(None, 0, 0), ZSTD_e_end)
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+    _producer_tls.stats = calls
+    compress_stream_with_producer.last_stats = calls
+    return bytes(out)
+
+
+def compress_with_producer_and_dict(data: bytes, produce, dictionary: bytes,
+                                    level: int = 1,
+                                    fallback: bool = True) -> bytes:
+    """ZSTD_compress2 with BOTH a loaded dictionary and a registered
+    producer — the degradation surface the reference fails fast on
+    (src/qatseqprod.c:1123-1129: dict != NULL => producer error =>
+    libzstd falls back). Raises ZstdOracleError if libzstd itself
+    rejects the combination."""
+    lib = _stream_lib()
+    calls = {"blocks": 0, "errors": 0}
+
+    @SEQPROD_CFUNC
+    def cb(_state, out_seqs, cap, src, src_size, _dict, dict_size, clevel,
+           wsize):
+        # The reference's guard: any dictionary => producer error
+        # (src/qatseqprod.c:1123-1129).
+        calls["errors"] += 1
+        return ZSTD_SEQUENCE_PRODUCER_ERROR
+
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:
+        raise ZstdOracleError("ZSTD_createCCtx failed")
+    try:
+        for param, val in ((ZSTD_c_compressionLevel, level),
+                           (ZSTD_c_enableSeqProducerFallback, int(fallback))):
+            r = lib.ZSTD_CCtx_setParameter(cctx, param, val)
+            if lib.ZSTD_isError(r):
+                raise ZstdOracleError("setParameter failed")
+        r = lib.ZSTD_CCtx_loadDictionary(cctx, dictionary, len(dictionary))
+        if lib.ZSTD_isError(r):
+            raise ZstdOracleError(
+                f"loadDictionary failed: "
+                f"{lib.ZSTD_getErrorName(r).decode()}")
+        lib.ZSTD_registerSequenceProducer(cctx, None, cb)
+        cap = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        ret = lib.ZSTD_compress2(cctx, dst, cap, data, len(data))
+        if lib.ZSTD_isError(ret):
+            raise ZstdOracleError(
+                f"compress2 failed: {lib.ZSTD_getErrorName(ret).decode()}")
+        out = dst.raw[:ret]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+    _producer_tls.stats = calls
+    return out
+
+
+def decompress_with_dict(frame: bytes, dictionary: bytes,
+                         expected_size: int) -> bytes:
+    """DCtx decode with a loaded dictionary (for dict-mode round-trips)."""
+    lib = _stream_lib()
+    lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+    lib.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
+    lib.ZSTD_DCtx_loadDictionary.restype = ctypes.c_size_t
+    lib.ZSTD_DCtx_loadDictionary.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    lib.ZSTD_decompressDCtx.restype = ctypes.c_size_t
+    lib.ZSTD_decompressDCtx.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_size_t]
+    dctx = lib.ZSTD_createDCtx()
+    try:
+        r = lib.ZSTD_DCtx_loadDictionary(dctx, dictionary, len(dictionary))
+        if lib.ZSTD_isError(r):
+            raise ZstdOracleError("DCtx loadDictionary failed")
+        dst = ctypes.create_string_buffer(max(expected_size, 1))
+        ret = lib.ZSTD_decompressDCtx(dctx, dst, expected_size, frame,
+                                      len(frame))
+        if lib.ZSTD_isError(ret):
+            raise ZstdOracleError(
+                f"decompressDCtx failed: "
+                f"{lib.ZSTD_getErrorName(ret).decode()}")
+        return dst.raw[:ret]
+    finally:
+        lib.ZSTD_freeDCtx(dctx)

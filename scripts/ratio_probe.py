@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Ratio probe: device/software path vs stock zstd on multiple corpora.
+
+Round-4 workbench for the parse-economics work (VERDICT r3 #1, #3):
+measures the device L1/L2 ratio gap per corpus so economics changes are
+judged on >1 corpus composition. Runs on the CPU JAX backend (ratio is
+backend-independent; only speed differs).
+
+Usage: python scripts/ratio_probe.py [levels...] [--corpus name] [--mb N]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import importlib.util
+
+import numpy as np
+
+spec = importlib.util.spec_from_file_location(
+    "bench_mod", os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py"))
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+from qat_zstd_plugin_tpu import oracle
+from qat_zstd_plugin_tpu.runtime.tpu_codec import TpuCodec
+
+
+def corpus_text(nbytes: int, seed: int = 7) -> bytes:
+    """Text-heavy: natural-language-like with long-range repeats."""
+    rng = np.random.default_rng(seed)
+    words = (b"the quick brown fox jumps over the lazy dog "
+             b"compression ratio entropy sequence literal match offset "
+             b"window frame block stream device kernel lattice ").split()
+    paras = []
+    while sum(map(len, paras)) < nbytes:
+        para = b" ".join(words[i] for i in rng.integers(0, len(words), 600))
+        paras.append(para + b"\n\n")
+        if rng.random() < 0.3 and paras:  # long-range paragraph repeat
+            paras.append(paras[int(rng.integers(0, len(paras)))])
+    return b"".join(paras)[:nbytes]
+
+
+def corpus_binary(nbytes: int, seed: int = 11) -> bytes:
+    """Structured binary: fixed-stride records, few distinct values."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    while sum(map(len, parts)) < nbytes:
+        stride = int(rng.integers(16, 128))
+        rec = rng.integers(0, 64, stride, np.uint8)
+        block = np.tile(rec, int(rng.integers(50, 400)))
+        noise = rng.integers(0, 256, block.size, np.uint8)
+        mask = rng.random(block.size) < 0.02
+        block = np.where(mask, noise, block).astype(np.uint8)
+        parts.append(block.tobytes())
+    return b"".join(parts)[:nbytes]
+
+
+def corpus_redundant(nbytes: int, seed: int = 13) -> bytes:
+    """High-redundancy: big verbatim repeats at long distances."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, nbytes // 8, np.uint8).tobytes()
+    parts = [base]
+    while sum(map(len, parts)) < nbytes:
+        s = int(rng.integers(0, len(base) - 5000))
+        ln = int(rng.integers(500, 5000))
+        parts.append(base[s:s + ln])
+    return b"".join(parts)[:nbytes]
+
+
+CORPORA = {
+    "mixed0": lambda mb: bench.make_corpus(mb << 20, seed=0),
+    "mixed3": lambda mb: bench.make_corpus(mb << 20, seed=3),
+    "text": lambda mb: corpus_text(mb << 20),
+    "binary": lambda mb: corpus_binary(mb << 20),
+    "redundant": lambda mb: corpus_redundant(mb << 20),
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    mb = 2
+    names = list(CORPORA)
+    levels = [1, 2]
+    modes = ["device"]
+    rest = []
+    it = iter(args)
+    for a in it:
+        if a == "--mb":
+            mb = int(next(it))
+        elif a == "--corpus":
+            names = next(it).split(",")
+        elif a == "--sw":
+            modes = ["sw"]
+        elif a == "--both":
+            modes = ["device", "sw"]
+        else:
+            rest.append(a)
+    if rest:
+        levels = [int(x) for x in rest]
+    for name in names:
+        data = CORPORA[name](mb)
+        for lvl in levels:
+            stock = len(oracle.compress(data, lvl))
+            row = [f"{name:10s} L{lvl}  stock={stock}"]
+            for mode in modes:
+                c = TpuCodec(level=lvl, batch=4,
+                             use_device=(mode == "device"))
+                f = c.compress(data)
+                ok = oracle.roundtrip_ok(f, data)
+                row.append(f"{mode}={len(f)} ({len(f) / stock:.4f}x"
+                           f"{'' if ok else ' BAD'})")
+            print("  ".join(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

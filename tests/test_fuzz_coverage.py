@@ -28,7 +28,14 @@ def fuzzer(tmp_path_factory):
     return exe
 
 
-@pytest.mark.parametrize("target", ["roundtrip", "extend", "mt"])
+# Min instrumented-library edges per target: the full-pipeline targets
+# sweep matcher+entropy; `stream` only reaches the matcher through the
+# producer callback (libzstd itself is uninstrumented), so its honest
+# floor is lower.
+MIN_EDGES = {"roundtrip": 500, "extend": 500, "mt": 500, "stream": 120}
+
+
+@pytest.mark.parametrize("target", ["roundtrip", "extend", "mt", "stream"])
 def test_fuzz_target_clean(fuzzer, target, tmp_path):
     corpus = tmp_path / target
     r = subprocess.run([fuzzer, target, "10", str(corpus)],
@@ -36,4 +43,4 @@ def test_fuzz_target_clean(fuzzer, target, tmp_path):
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "OK target=" in r.stdout
     # coverage actually accumulated (the loop is not a no-op)
-    assert int(r.stdout.split("edges=")[1]) > 500
+    assert int(r.stdout.split("edges=")[1]) > MIN_EDGES[target]

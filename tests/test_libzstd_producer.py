@@ -90,6 +90,73 @@ def test_producer_ratio_parity_vs_stock(corpus):
     assert len(ours) <= 1.02 * len(stock)
 
 
+def test_producer_via_libzstd_streaming(corpus):
+    """ZSTD_compressStream2 with our producer registered (VERDICT r3 #6):
+    chunked pumps + explicit flush points, the patched-CLI deployment
+    shape (reference README.md:180-217) and the integration zstd's
+    stream_round_trip fuzz family drives (test/fuzzing/README.md:17-28).
+    """
+    for chunk, flush in ((64 * 1024, 0), (13 * 1024 + 7, 3), (1 << 20, 1)):
+        f = qz.compress_stream_via_libzstd(corpus, level=1,
+                                           chunk_size=chunk,
+                                           flush_every=flush)
+        stats = oracle.compress_stream_with_producer.last_stats
+        assert stats["blocks"] > 0, "producer was never called (streaming)"
+        assert oracle.decompress(f, len(corpus)) == corpus
+    # levels + tiny/empty inputs through the streaming path
+    for level in (1, 5, 12):
+        f = qz.compress_stream_via_libzstd(corpus[:200000], level=level,
+                                           chunk_size=77777, flush_every=2)
+        assert oracle.decompress(f, 200000) == corpus[:200000]
+    for n in (0, 1, 131073):
+        blob = corpus[:n]
+        f = qz.compress_stream_via_libzstd(blob, level=1, chunk_size=4096)
+        assert oracle.decompress(f, len(blob)) == blob
+
+
+def test_producer_via_libzstd_streaming_device(corpus):
+    """Streaming pumps through the TPU route stay bit-exact."""
+    f = qz.compress_stream_via_libzstd(corpus[:400000], level=1,
+                                       use_device=True,
+                                       chunk_size=100000, flush_every=2)
+    stats = oracle.compress_stream_with_producer.last_stats
+    assert stats["blocks"] > 0
+    assert oracle.decompress(f, 400000) == corpus[:400000]
+
+
+def test_streaming_producer_error_falls_back(corpus):
+    """Streaming + always-erroring producer => libzstd software fallback
+    still produces a valid stream (README.md:197-198 semantics under
+    ZSTD_compressStream2)."""
+    f = oracle.compress_stream_with_producer(
+        corpus[:300000], lambda *a: None, level=1, fallback=True,
+        chunk_size=50000, flush_every=2)
+    assert oracle.compress_stream_with_producer.last_stats["errors"] > 0
+    assert oracle.decompress(f, 300000) == corpus[:300000]
+
+
+def test_dictionary_degrades_cleanly(corpus):
+    """Dictionary + registered producer (VERDICT r3 #7). The reference
+    fails fast on dict != NULL (src/qatseqprod.c:1123-1129) and relies on
+    libzstd's fallback; stock libzstd itself may instead reject the
+    combination outright (zstd.h: dictionaries unsupported with external
+    producers). Either way: no corrupt frame, defined behavior."""
+    rng = np.random.default_rng(11)
+    dictionary = rng.integers(0, 256, 4096, np.uint8).tobytes()
+    data = corpus[:200000]
+    try:
+        f = oracle.compress_with_producer_and_dict(
+            data, None, dictionary, level=1, fallback=True)
+    except oracle.ZstdOracleError:
+        return  # libzstd fails fast: clean rejection is a valid outcome
+    # If libzstd accepted, the frame must round-trip (with the dict).
+    try:
+        out = oracle.decompress(f, len(data))
+    except oracle.ZstdOracleError:
+        out = oracle.decompress_with_dict(f, dictionary, len(data))
+    assert out == data
+
+
 def test_own_frame_beats_stock_on_multiblock(corpus):
     """Where the producer ABI stops (no stream history), our own frame
     path must still reach stock-zstd parity via cross-block context."""

@@ -110,10 +110,10 @@ def test_sync_claim_contract_sane():
     assert (off > 0).all()
     assert (pos + 6 <= N).all()
     assert (np.diff(pos) > 0).all()  # slot order == position order
-    # local claims stay inside the window segment
+    # Local claims are segment-local by construction: the match source
+    # pos - off stays inside the claim's own 32K window segment.
     seg = pos // 32768
-    assert (off <= (pos - seg * 32768) + 1).all() or True  # offsets may
-    # reach into... no: local offsets are segment-local by construction
+    assert (off <= pos - seg * 32768).all()
     assert (off <= 32768).all()
 
 
