@@ -7,6 +7,14 @@ instance model, src/qatseqprod.c:601-630), each process finishes entropy
 for its addressable shard only, and the ordered variable-size gather
 (size-prefixed, max-bound padded — parallel/distributed.py) reassembles
 every block's bytes in frame order on every process.
+
+Parity contract (VERDICT r3 #2): the mesh path runs the SAME pipeline as
+the single-chip flagship — the sync/dense/LDM positions matcher on fast
+levels, content sorts on deep levels — and every block's host side goes
+through TpuCodec.finish_block_host (extension + cross-block window
+context + gap-fill + first-block rep init), so a mesh frame matches the
+single-chip device frame's treatment block for block. The reference has
+one code path regardless of instance count; so do we.
 """
 
 from __future__ import annotations
@@ -14,37 +22,14 @@ from __future__ import annotations
 import numpy as np
 
 from .. import native
-from ..format import frame, tables
+from ..format import frame
+from ..format import tables
 from ..golden import codec as golden_codec
 from ..runtime import tpu_codec
 from . import distributed
 from .mesh import AXIS, make_mesh
 
 BLOCK = tables.BLOCK_SIZE_MAX
-
-
-def _finish_host(blk: np.ndarray, out_row: dict, level: int
-                 ) -> bytes | None:
-    """Per-block host side: verify/extend device sequences + entropy."""
-    gp = golden_codec.level_params(level)
-    seqs = tpu_codec.device_outputs_to_sequences(out_row, 0)
-    if seqs is None:
-        return None
-    if native.available():
-        if seqs.nseq:
-            ll, of, ml, lastlit = native.extend_sequences(
-                blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
-                seqs.last_literals)
-            seqs = frame.BlockSequences(ll, of, ml, lastlit)
-        return native.block_body(
-            blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
-            seqs.last_literals, gp.custom_tables, gp.huffman)
-    try:
-        return frame.encode_block_body(blk, seqs,
-                                       allow_custom_tables=gp.custom_tables,
-                                       try_huffman=gp.huffman)
-    except ValueError:
-        return None
 
 
 def compress_mesh(data: bytes | np.ndarray, mesh=None, level: int = 1,
@@ -68,9 +53,11 @@ def compress_mesh(data: bytes | np.ndarray, mesh=None, level: int = 1,
 
     if mesh is None:
         mesh = make_mesh()
-    params = tpu_codec.TPU_LEVEL_TABLE[level]
+    codec = tpu_codec.TpuCodec(level=level, block_size=block_size,
+                               max_seq=max_seq, use_device=True)
+    params = codec.params
     gp = golden_codec.level_params(level)
-    matcher = params.matcher if native.available() else "content"
+    matcher = codec._matcher()  # hash downgrades to content w/o native
 
     buf = np.frombuffer(data, np.uint8) if not isinstance(
         data, np.ndarray) else np.ascontiguousarray(data, np.uint8)
@@ -78,10 +65,15 @@ def compress_mesh(data: bytes | np.ndarray, mesh=None, level: int = 1,
     bs = block_size
     nblocks = max(1, -(-n // bs))
     nmesh = mesh.devices.size
-    # Device batch: full blocks only, padded up to a mesh multiple; the
-    # tail block (and any padding rows) take the host path.
+    # Device batch: full blocks only, padded up to a mesh multiple AND an
+    # LDM-span multiple (find_matches_positions silently drops LDM when
+    # the batch doesn't tile into whole spans — losing long-distance
+    # matches the single-chip path finds); the tail block (and any
+    # padding rows) take the host path.
     full = [i for i in range(nblocks) if min(n - i * bs, bs) == bs]
-    B = max(nmesh, -(-len(full) // nmesh) * nmesh)
+    import math
+    unit = nmesh * (params.ldm or 1) // math.gcd(nmesh, params.ldm or 1)
+    B = max(unit, -(-len(full) // unit) * unit)
     blocks_np = np.zeros((B, bs), np.uint8)
     lengths_np = np.zeros((B,), np.int32)
     for row, i in enumerate(full):
@@ -89,32 +81,65 @@ def compress_mesh(data: bytes | np.ndarray, mesh=None, level: int = 1,
         lengths_np[row] = bs
 
     window = min(params.window, bs)
-    run = jax.jit(
-        functools.partial(
-            match_pipeline.find_matches_packed,
-            neighbors=params.neighbors, max_seq=max_seq,
-            parser="scan", lazy=params.lazy, stride=params.stride,
-            window=window, matcher=matcher, widths=params.widths,
-            fused=True),
-        in_shardings=(NamedSharding(mesh, P(AXIS, None)),
-                      NamedSharding(mesh, P(AXIS))),
-        out_shardings=NamedSharding(mesh, P(AXIS, None, None)))
-    packed = run(jnp.asarray(blocks_np), jnp.asarray(lengths_np))
-
-    # Host entropy for addressable rows only (per-process work split).
     bodies: dict[int, bytes | None] = {}
-    for shard in packed.addressable_shards:
-        rows = shard.index[0]
-        arr = np.asarray(shard.data)
-        out = match_pipeline.unpack_outputs(arr)
-        for j in range(arr.shape[0]):
-            row = rows.start + j
-            if row >= len(full):
-                continue
-            i = full[row]
-            row_view = {k: v[j:j + 1] for k, v in out.items()}
-            bodies[i] = _finish_host(buf[i * bs:(i + 1) * bs], row_view,
-                                     level)
+    if matcher == "hash":
+        # The flagship fast-level pipeline (positions contract: the
+        # device sends one packed slot word per claim; the host
+        # extension derives exact lengths) with the level's sync/dense/
+        # LDM knobs — identical to TpuCodec._pipeline's configuration.
+        run = jax.jit(
+            functools.partial(
+                match_pipeline.find_matches_positions,
+                widths=params.widths, neighbors=params.neighbors,
+                window=window, max_seq=max_seq, lazy=params.lazy,
+                psegs=params.psegs, ldm=params.ldm,
+                ldm_max_off=1 << gp.window_log,
+                dense=params.dense, sync=params.sync),
+            in_shardings=(NamedSharding(mesh, P(AXIS, None)),
+                          NamedSharding(mesh, P(AXIS))),
+            out_shardings=NamedSharding(mesh, P(AXIS, None)))
+        slot_keys = run(jnp.asarray(blocks_np), jnp.asarray(lengths_np))
+        nseg = slot_keys.shape[0] // B  # segment rows per block
+        for shard in slot_keys.addressable_shards:
+            rows = shard.index[0]
+            arr = np.asarray(shard.data)
+            per_block = match_pipeline.unpack_segments(
+                arr, arr.shape[0] // nseg, window)
+            block0 = (rows.start or 0) // nseg  # 1-device shard: slice(None)
+            for j, (pos, off) in enumerate(per_block):
+                row = block0 + j
+                if row >= len(full):
+                    continue
+                i = full[row]
+                claims = tpu_codec.device_positions_to_claims(pos, off, bs)
+                bodies[i] = codec.finish_block_host(buf, i, claims)
+    else:
+        # Content levels: exact-LCP sorts; LDM claims only when the
+        # native verifier exists (same guard as TpuCodec._pipeline).
+        ldm = params.ldm if native.available() else 0
+        run = jax.jit(
+            functools.partial(
+                match_pipeline.find_matches_packed,
+                neighbors=params.neighbors, max_seq=max_seq,
+                lazy=params.lazy, stride=params.stride,
+                window=window, matcher=matcher, widths=params.widths,
+                ldm=ldm, ldm_max_off=1 << gp.window_log, fused=True),
+            in_shardings=(NamedSharding(mesh, P(AXIS, None)),
+                          NamedSharding(mesh, P(AXIS))),
+            out_shardings=NamedSharding(mesh, P(AXIS, None, None)))
+        packed = run(jnp.asarray(blocks_np), jnp.asarray(lengths_np))
+        for shard in packed.addressable_shards:
+            rows = shard.index[0]
+            arr = np.asarray(shard.data)
+            out = match_pipeline.unpack_outputs(arr)
+            for j in range(arr.shape[0]):
+                row = (rows.start or 0) + j  # 1-device shard: slice(None)
+                if row >= len(full):
+                    continue
+                i = full[row]
+                seqs = tpu_codec.device_outputs_to_sequences(
+                    {k: v[j:j + 1] for k, v in out.items()}, 0)
+                bodies[i] = codec.finish_block_host(buf, i, seqs)
 
     # Ordered gather of the compressed bodies (size -1 = raw fallback).
     bound = bs
@@ -135,27 +160,10 @@ def compress_mesh(data: bytes | np.ndarray, mesh=None, level: int = 1,
             body_list[i] = all_p[k, :all_s[k]].tobytes()
     # Host-only blocks (tail / device-overflow fallback) finish here,
     # identically on every process: the input is replicated and the
-    # fallback is deterministic, so frames agree.
+    # fallback is deterministic, so frames agree. The shared finisher
+    # gives them the same cross-block-context + rep-init treatment.
     for i in range(nblocks):
         if body_list[i] is None:
-            blk = buf[i * bs:min((i + 1) * bs, n)]
-            if len(blk) >= 64:
-                if native.available():
-                    try:
-                        ll, of, ml, lastlit = native.find_sequences(
-                            blk, gp.chain_depth, gp.lazy, mml=gp.mml)
-                        body_list[i] = native.block_body(
-                            blk, ll, of, ml, lastlit, gp.custom_tables,
-                            gp.huffman)
-                    except OverflowError:
-                        pass
-                else:
-                    seqs = golden_codec.compress_block_sequences(blk, level)
-                    try:
-                        body_list[i] = frame.encode_block_body(
-                            blk, seqs,
-                            allow_custom_tables=gp.custom_tables,
-                            try_huffman=gp.huffman)
-                    except ValueError:
-                        pass
-    return frame.assemble_frame(buf, body_list, bs, checksum)
+            body_list[i] = codec.finish_block_host(buf, i, None)
+    return frame.assemble_frame(buf, body_list, bs, checksum,
+                                window_log=gp.window_log)

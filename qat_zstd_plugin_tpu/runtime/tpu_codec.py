@@ -389,6 +389,112 @@ class TpuCodec:
         return frame.assemble_frame(buf, bodies, self.block_size, checksum,
                                     window_log=wlog)
 
+    def finish_block_host(self, buf: np.ndarray, i: int,
+                          seqs: BlockSequences | None,
+                          dev_section: bytes | None = None, *,
+                          frame_start: bool = True,
+                          validate: bool = False) -> bytes | None:
+        """Per-block host side of the device path: extension + gap-fill +
+        entropy (or full CPU fallback when seqs is None). `buf` is the
+        WHOLE frame buffer — cross-block window context is sliced here.
+        Shared by the single-chip batch loop and the mesh frame path
+        (parallel/pipeline.py), so both produce bodies with identical
+        treatment (VERDICT r3 #2: one code path regardless of instance
+        count, the reference's model at src/qatseqprod.c:601-630)."""
+        n = len(buf)
+        bs = self.block_size
+        gp = golden_codec.level_params(self.level)
+        use_native = native.available()
+        # Cross-block window context. Two caps: matchers that DISCOVER
+        # offsets (fill_gaps/find_sequences can emit off up to ctx + pos)
+        # get ctx <= window - block so every find stays inside the frame
+        # window; the extension pass only VERIFIES offsets the device
+        # already produced (local < 32K, LDM <= window by construction),
+        # so it may see the full window of context — required for LDM
+        # claims in the (window - block, window] offset range.
+        win = 1 << gp.window_log
+        max_ctx = max(0, win - bs)
+        blk = buf[i * bs:min((i + 1) * bs, n)]
+        if len(blk) < 64:
+            return None
+        ctx = min(i * bs, win)
+        ctx_find = min(i * bs, max_ctx)
+        cblk = buf[i * bs - ctx:min((i + 1) * bs, n)]
+        if dev_section is not None:
+            lit_sec, seq_sec = dev_section
+            if lit_sec is not None and seqs is not None:
+                # Fully-device entropy: both sections came off the
+                # accelerator; the host only concatenates (span
+                # sanity first — a mismatch falls through to the
+                # host literals path below).
+                span = int(seqs.lit_lengths.sum()
+                           + seqs.match_lengths.sum()
+                           + seqs.last_literals)
+                if span == len(blk):
+                    return bytes(lit_sec) + seq_sec
+            if seqs is not None and use_native:
+                # Hybrid entropy: the device encoded the sequence
+                # section; host adds the literals section only. No
+                # extension — the section is final.
+                return native.block_body_external_seqsec(
+                    blk, seqs.lit_lengths, seqs.match_lengths,
+                    seqs.last_literals, seq_sec,
+                    self.params.huffman)
+            # No native runtime: the sequences carry placeholder
+            # offsets (they live in the device section), so the
+            # Python entropy path must NOT encode them — re-match
+            # on CPU instead.
+            seqs = None
+        if seqs is not None and use_native and seqs.nseq:
+            # Re-extend the device's capped matches to true lengths.
+            ll, of, ml, lastlit = native.extend_sequences(
+                cblk, seqs.lit_lengths, seqs.offsets,
+                seqs.match_lengths, seqs.last_literals, ctx_len=ctx,
+                max_off=win)
+            # The device match window is segment-local (32K); this
+            # re-matches the long literal runs it left behind against
+            # the full block AND the cross-block window context
+            # (stock zstd's streaming-matcher advantage, recovered
+            # host-side at gap-bytes-only cost). It discovers offsets
+            # (up to ctx + pos), so it gets the find-safe context.
+            # Syncmer levels pair-sample anchors, so their gaps hold
+            # genuinely undiscovered SHORT matches too: scan every
+            # gap (min_gap=4) under the extension walk's economics.
+            ll, of, ml, lastlit = native.fill_gaps(
+                cblk[ctx - ctx_find:], ll, of, ml, lastlit,
+                ctx_len=ctx_find,
+                chain_depth=gp.chain_depth, mml=gp.mml,
+                min_gap=4 if self.params.sync else 32,
+                relaxed=self.params.sync)
+            seqs = BlockSequences(ll, of, ml, lastlit)
+        if seqs is None:
+            if use_native:
+                try:
+                    ll, of, ml, lastlit = native.find_sequences(
+                        cblk[ctx - ctx_find:], gp.chain_depth,
+                        gp.lazy, ctx_len=ctx_find, mml=gp.mml)
+                    seqs = BlockSequences(ll, of, ml, lastlit)
+                except OverflowError:
+                    return None
+            else:
+                seqs = golden_codec.compress_block_sequences(
+                    blk, self.level)
+        if validate:
+            golden_matcher.validate_sequences(cblk, seqs, ctx_len=ctx)
+        custom = self.params.custom_tables and gp.custom_tables
+        first = frame_start and i == 0  # frame rep-history init
+        if use_native:
+            return native.block_body(
+                blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
+                seqs.last_literals, custom, self.params.huffman,
+                first_block=first)
+        try:
+            return frame.encode_block_body(
+                blk, seqs, allow_custom_tables=custom,
+                try_huffman=self.params.huffman, first_block=first)
+        except ValueError:
+            return None
+
     def compress_bodies(self, buf: np.ndarray, validate: bool = False,
                         frame_start: bool = True) -> list[bytes | None]:
         """Produce per-block Compressed_Block bodies (None => raw block)."""
@@ -424,113 +530,20 @@ class TpuCodec:
         full_ids = set(i for i in range(nblocks)
                        if min(n - i * bs, bs) == bs and n >= bs) \
             if self.use_device else set()
-        gp = golden_codec.level_params(self.level)
-        use_native = native.available()
 
         def finish_block(i: int, seqs: BlockSequences | None,
                          dev_section: bytes | None = None) -> bytes | None:
             """Fallback matching (if needed) + extension + entropy for one
             block. Runs in a worker thread; native C calls drop the GIL."""
             with Timer() as tm:
-                body = _finish_block(i, seqs, dev_section)
+                body = self.finish_block_host(buf, i, seqs, dev_section,
+                                              frame_start=frame_start,
+                                              validate=validate)
             blk_len = min(n - i * bs, bs)
             self.stats.record(blk_len, len(body) if body else None,
                               tm.elapsed,
                               fallback=seqs is None and i in full_ids)
             return body
-
-        # Cross-block window context. Two caps: matchers that DISCOVER
-        # offsets (fill_gaps/find_sequences can emit off up to ctx + pos)
-        # get ctx <= window - block so every find stays inside the frame
-        # window; the extension pass only VERIFIES offsets the device
-        # already produced (local < 32K, LDM <= window by construction),
-        # so it may see the full window of context — required for LDM
-        # claims in the (window - block, window] offset range.
-        win = 1 << gp.window_log
-        max_ctx = max(0, win - bs)
-
-        def _finish_block(i: int, seqs: BlockSequences | None,
-                          dev_section: bytes | None = None) -> bytes | None:
-            blk = buf[i * bs:min((i + 1) * bs, n)]
-            if len(blk) < 64:
-                return None
-            ctx = min(i * bs, win)
-            ctx_find = min(i * bs, max_ctx)
-            cblk = buf[i * bs - ctx:min((i + 1) * bs, n)]
-            if dev_section is not None:
-                lit_sec, seq_sec = dev_section
-                if lit_sec is not None and seqs is not None:
-                    # Fully-device entropy: both sections came off the
-                    # accelerator; the host only concatenates (span
-                    # sanity first — a mismatch falls through to the
-                    # host literals path below).
-                    span = int(seqs.lit_lengths.sum()
-                               + seqs.match_lengths.sum()
-                               + seqs.last_literals)
-                    if span == len(blk):
-                        return bytes(lit_sec) + seq_sec
-                if seqs is not None and use_native:
-                    # Hybrid entropy: the device encoded the sequence
-                    # section; host adds the literals section only. No
-                    # extension — the section is final.
-                    return native.block_body_external_seqsec(
-                        blk, seqs.lit_lengths, seqs.match_lengths,
-                        seqs.last_literals, seq_sec,
-                        self.params.huffman)
-                # No native runtime: the sequences carry placeholder
-                # offsets (they live in the device section), so the
-                # Python entropy path must NOT encode them — re-match
-                # on CPU instead.
-                seqs = None
-            if seqs is not None and use_native and seqs.nseq:
-                # Re-extend the device's capped matches to true lengths.
-                ll, of, ml, lastlit = native.extend_sequences(
-                    cblk, seqs.lit_lengths, seqs.offsets,
-                    seqs.match_lengths, seqs.last_literals, ctx_len=ctx,
-                    max_off=win)
-                # The device match window is segment-local (32K); this
-                # re-matches the long literal runs it left behind against
-                # the full block AND the cross-block window context
-                # (stock zstd's streaming-matcher advantage, recovered
-                # host-side at gap-bytes-only cost). It discovers offsets
-                # (up to ctx + pos), so it gets the find-safe context.
-                # Syncmer levels pair-sample anchors, so their gaps hold
-                # genuinely undiscovered SHORT matches too: scan every
-                # gap (min_gap=4) under the extension walk's economics.
-                ll, of, ml, lastlit = native.fill_gaps(
-                    cblk[ctx - ctx_find:], ll, of, ml, lastlit,
-                    ctx_len=ctx_find,
-                    chain_depth=gp.chain_depth, mml=gp.mml,
-                    min_gap=4 if self.params.sync else 32,
-                    relaxed=self.params.sync)
-                seqs = BlockSequences(ll, of, ml, lastlit)
-            if seqs is None:
-                if use_native:
-                    try:
-                        ll, of, ml, lastlit = native.find_sequences(
-                            cblk[ctx - ctx_find:], gp.chain_depth,
-                            gp.lazy, ctx_len=ctx_find, mml=gp.mml)
-                        seqs = BlockSequences(ll, of, ml, lastlit)
-                    except OverflowError:
-                        return None
-                else:
-                    seqs = golden_codec.compress_block_sequences(
-                        blk, self.level)
-            if validate:
-                golden_matcher.validate_sequences(cblk, seqs, ctx_len=ctx)
-            custom = self.params.custom_tables and gp.custom_tables
-            first = frame_start and i == 0  # frame rep-history init
-            if use_native:
-                return native.block_body(
-                    blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
-                    seqs.last_literals, custom, self.params.huffman,
-                    first_block=first)
-            try:
-                return frame.encode_block_body(
-                    blk, seqs, allow_custom_tables=custom,
-                    try_huffman=self.params.huffman, first_block=first)
-            except ValueError:
-                return None
 
         futures: dict[int, object] = {}
         inflight: list[tuple[list[int], object]] = []

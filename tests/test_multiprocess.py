@@ -63,3 +63,10 @@ def test_two_process_distributed_frame(tmp_path):
     data = open(out + ".0.src", "rb").read()
     from qat_zstd_plugin_tpu import oracle
     assert oracle.decompress(f0, len(data)) == data
+    # Mesh-path parity (VERDICT r3 #2): the distributed frame must be
+    # within 0.5% of the single-chip device frame on the same input —
+    # both run the flagship pipeline and share the host finisher.
+    from qat_zstd_plugin_tpu.runtime.tpu_codec import TpuCodec
+    single = TpuCodec(level=1, block_size=16384, max_seq=4096,
+                      batch=4).compress(data)
+    assert len(f0) <= 1.005 * len(single), (len(f0), len(single))
