@@ -16,6 +16,14 @@ import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax  # noqa: E402  (axon site hook overrides the env var)
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts"))
@@ -86,11 +94,19 @@ def eval_host(names=("mixed0", "text"), levels=(1, 2)) -> None:
                     cblk, seqs.lit_lengths, seqs.offsets,
                     seqs.match_lengths, seqs.last_literals, ctx_len=ctx,
                     max_off=win)
+                fast = params.matcher == "hash"
+                mg = int(os.environ.get(
+                    "QZ_EVAL_MIN_GAP", "4" if fast else "32"))
+                rx = int(os.environ.get(
+                    "QZ_EVAL_RELAXED", "1" if fast else "0"))
+                cd = int(os.environ.get(
+                    "QZ_EVAL_CHAIN",
+                    str(max(gp.chain_depth, 8) if fast
+                        else gp.chain_depth)))
                 ll, of, ml, lastlit = native.fill_gaps(
                     cblk[ctx - ctx_find:], ll, of, ml, lastlit,
-                    ctx_len=ctx_find, chain_depth=gp.chain_depth,
-                    mml=gp.mml, min_gap=4 if params.sync else 32,
-                    relaxed=params.sync)
+                    ctx_len=ctx_find, chain_depth=cd,
+                    mml=gp.mml, min_gap=mg, relaxed=rx)
                 body = native.block_body(blk, ll, of, ml, lastlit,
                                          params.custom_tables, True,
                                          first_block=(i == 0))
