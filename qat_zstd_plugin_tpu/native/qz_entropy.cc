@@ -1694,6 +1694,12 @@ struct StreamMatcher {
           len = lr;
           off = rep;
         }
+#ifdef QZ_FAST_REP_TAKE
+        // Rep-take rule under test: a long-enough rep continuation wins
+        // unconditionally (no candidate competition), preserving the rep
+        // chain's near-zero offset coding.
+        if (lr >= QZ_FAST_REP_TAKE) break;
+#endif
         for (int32_t cand : {candL, cand0, cand1}) {
           if (cand < 0) continue;
           size_t cp = static_cast<size_t>(cand);
@@ -1894,21 +1900,30 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
                     int mml, int min_gap, int relaxed) {
   if (n < 8) return nseq;
   const size_t total = ctx_len + n;
+  // min_gap >= 2^20 (bigger than any block) = competition-only mode:
+  // gap probing off, but the walk still runs so every claim faces the
+  // chain competition.
+  const bool comp_only = min_gap >= (1 << 20);
   if (min_gap < 4) min_gap = 4;
   if (mml < 4) mml = 4;
   // Early exit: no qualifying gap means nothing to probe, and the
   // table seed below (up to a full window of context at stride 2, per
   // block) is the expensive part — skip all of it. Device-parsed blocks
   // are usually densely covered, so this is the common case.
-  {
+  if (!comp_only) {
     bool any_gap = *last_literals >= static_cast<uint32_t>(min_gap);
     for (size_t i = 0; !any_gap && i < nseq; ++i)
       any_gap = lit_lens[i] >= static_cast<uint32_t>(min_gap);
     if (!any_gap) return nseq;
   }
   const int hash_log = 17;
-  std::vector<int32_t> head(size_t(1) << hash_log, -1);
-  std::vector<int32_t> prev(total, -1);
+  // Thread-local scratch: the table alloc + fill (0.5 MB head + up to
+  // 2.5 MB prev per call) measured as a real share of this pass's cost.
+  // head must reset between calls (memset); prev needs no reset — stale
+  // entries are only reachable through head chains, which are fresh.
+  static thread_local std::vector<int32_t> head, prev;
+  head.assign(size_t(1) << hash_log, -1);
+  if (prev.size() < total) prev.resize(total);
   // 6-byte-gram hash (stock L1's mls): 4-gram chains on text are so
   // overloaded that a depth-4 walk never surfaces the 6-8 byte matches
   // the gaps actually hold (measured: stock emits 10k 6-8B matches per
@@ -1934,7 +1949,9 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
   for (size_t i = 0; i < nseq; ++i)
     if (lit_lens[i] >= static_cast<uint32_t>(min_gap))
       gap_bytes += lit_lens[i];
-  size_t ctx_stride = gap_bytes >= 8192 ? 2 : (gap_bytes >= 1024 ? 4 : 8);
+  size_t ctx_stride =
+      comp_only ? 2
+                : (gap_bytes >= 8192 ? 2 : (gap_bytes >= 1024 ? 4 : 8));
   for (size_t p = 0; p + 8 <= ctx_len; p += ctx_stride) insert(p);
   // Rep state threaded through the WHOLE walk (emitted gap matches and
   // the original sequences both advance it, mirroring the decoder's
@@ -2430,16 +2447,77 @@ void qz_compress_blocks_mt(const uint8_t* src, size_t n, size_t block_size,
       else
         sm.compress_block(ctx0 + off - range_off, len, chain_depth,
                           lazy != 0, mml, &seqs, &last_lit);
-      std::vector<uint32_t> ll(seqs.size()), of(seqs.size()),
-          ml(seqs.size());
-      for (size_t s = 0; s < seqs.size(); ++s) {
+      size_t nseq = seqs.size();
+      size_t cap = nseq + len / 8 + 64;
+      std::vector<uint32_t> ll(cap), of(cap), ml(cap);
+      for (size_t s = 0; s < nseq; ++s) {
         ll[s] = seqs[s].lit_len;
         of[s] = seqs[s].offset;
         ml[s] = seqs[s].match_len;
       }
+      // Finishing walk over the software parse (the same pass the
+      // device path's host side runs: gap re-probing + claim
+      // competition). Policy:
+      //   lazy deep levels — skip (their chain parse already beats
+      //     stock everywhere; the walk's relaxed pricing was measured
+      //     NET-NEGATIVE under a deep parse);
+      //   L2-L4 (double-table fast / shallow chains) — always (every
+      //     probe corpus improves; these are the balanced levels);
+      //   L1 (speed point) — only when the parse shows OFFSET CHURN:
+      //     few distinct offsets but a low rep-hit rate, the signature
+      //     of structured records where greedy longest-wins rotates
+      //     between stride multiples and wrecks the offset coding
+      //     (measured: binary corpus 1.06x stock -> 0.96x; text/mixed
+      //     parses don't trigger, keeping the L1 throughput point).
+      bool do_fill = false;
+      if (!lazy && len >= 4096) {
+        if (chain_depth >= 3) {
+          do_fill = true;
+        } else if (nseq >= 128) {
+          uint32_t r3[3] = {0, 0, 0};
+          size_t rep_hits = 0;
+          uint32_t slots[1024] = {0};
+          size_t distinct = 0;
+          bool many = false;
+          for (size_t s = 0; s < nseq; ++s) {
+            uint32_t o = of[s];
+            if (o == r3[0] || o == r3[1] || o == r3[2]) ++rep_hits;
+            if (o != r3[0]) {
+              r3[2] = r3[1];
+              r3[1] = r3[0];
+              r3[0] = o;
+            }
+            if (!many && o) {
+              uint32_t h = (o * 2654435761u) >> 22;
+              for (int k = 0; k < 1024; ++k) {
+                uint32_t& sl = slots[(h + k) & 1023];
+                if (sl == o) break;
+                if (sl == 0) {
+                  sl = o;
+                  // Measured separation on the probe corpora: structured
+                  // records ~84 distinct offsets per block, text/mixed
+                  // ~1000 — the boundary sits comfortably at 256.
+                  if (++distinct > 256) many = true;
+                  break;
+                }
+              }
+            }
+          }
+          do_fill = !many && rep_hits < nseq * 9 / 10;
+        }
+      }
+      if (do_fill) {
+        size_t max_ctx = window > block_size ? window - block_size : 0;
+        max_ctx = std::min(max_ctx, size_t(32768));
+        size_t cf = std::min(off, max_ctx);
+        size_t ns = qz_fill_gaps(src + off - cf, cf, len, ll.data(),
+                                 of.data(), ml.data(), nseq, &last_lit,
+                                 cap, 8, mml, 4, 1);
+        if (ns != static_cast<size_t>(-1)) nseq = ns;
+      }
       std::vector<uint8_t> body;
       if (!qz::encode_block_body(src + off, len, ll.data(), of.data(),
-                                 ml.data(), seqs.size(), last_lit,
+                                 ml.data(), nseq, last_lit,
                                  allow_custom != 0, try_huffman != 0,
                                  frame_start != 0 && i == 0, &body))
         continue;

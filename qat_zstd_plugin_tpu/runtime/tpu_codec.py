@@ -470,9 +470,9 @@ class TpuCodec:
                 cblk[ctx - ctx_find:], ll, of, ml, lastlit,
                 ctx_len=ctx_find,
                 chain_depth=max(gp.chain_depth, 8) if fast
-                else gp.chain_depth,
+                else max(gp.chain_depth, 16),
                 mml=gp.mml,
-                min_gap=4 if fast else 32,
+                min_gap=4,
                 relaxed=fast)
             seqs = BlockSequences(ll, of, ml, lastlit)
         if seqs is None:

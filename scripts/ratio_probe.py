@@ -42,54 +42,14 @@ from qat_zstd_plugin_tpu import oracle
 from qat_zstd_plugin_tpu.runtime.tpu_codec import TpuCodec
 
 
-def corpus_text(nbytes: int, seed: int = 7) -> bytes:
-    """Text-heavy: natural-language-like with long-range repeats."""
-    rng = np.random.default_rng(seed)
-    words = (b"the quick brown fox jumps over the lazy dog "
-             b"compression ratio entropy sequence literal match offset "
-             b"window frame block stream device kernel lattice ").split()
-    paras = []
-    while sum(map(len, paras)) < nbytes:
-        para = b" ".join(words[i] for i in rng.integers(0, len(words), 600))
-        paras.append(para + b"\n\n")
-        if rng.random() < 0.3 and paras:  # long-range paragraph repeat
-            paras.append(paras[int(rng.integers(0, len(paras)))])
-    return b"".join(paras)[:nbytes]
-
-
-def corpus_binary(nbytes: int, seed: int = 11) -> bytes:
-    """Structured binary: fixed-stride records, few distinct values."""
-    rng = np.random.default_rng(seed)
-    parts = []
-    while sum(map(len, parts)) < nbytes:
-        stride = int(rng.integers(16, 128))
-        rec = rng.integers(0, 64, stride, np.uint8)
-        block = np.tile(rec, int(rng.integers(50, 400)))
-        noise = rng.integers(0, 256, block.size, np.uint8)
-        mask = rng.random(block.size) < 0.02
-        block = np.where(mask, noise, block).astype(np.uint8)
-        parts.append(block.tobytes())
-    return b"".join(parts)[:nbytes]
-
-
-def corpus_redundant(nbytes: int, seed: int = 13) -> bytes:
-    """High-redundancy: big verbatim repeats at long distances."""
-    rng = np.random.default_rng(seed)
-    base = rng.integers(0, 256, nbytes // 8, np.uint8).tobytes()
-    parts = [base]
-    while sum(map(len, parts)) < nbytes:
-        s = int(rng.integers(0, len(base) - 5000))
-        ln = int(rng.integers(500, 5000))
-        parts.append(base[s:s + ln])
-    return b"".join(parts)[:nbytes]
-
+from qat_zstd_plugin_tpu.utils import corpora as _corp  # noqa: E402
 
 CORPORA = {
     "mixed0": lambda mb: bench.make_corpus(mb << 20, seed=0),
     "mixed3": lambda mb: bench.make_corpus(mb << 20, seed=3),
-    "text": lambda mb: corpus_text(mb << 20),
-    "binary": lambda mb: corpus_binary(mb << 20),
-    "redundant": lambda mb: corpus_redundant(mb << 20),
+    "text": lambda mb: _corp.corpus_text(mb << 20),
+    "binary": lambda mb: _corp.corpus_binary(mb << 20),
+    "redundant": lambda mb: _corp.corpus_redundant(mb << 20),
 }
 
 
