@@ -84,6 +84,10 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p]
+    lib.qz_dec_lz4s.restype = ctypes.c_size_t
+    lib.qz_dec_lz4s.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_size_t]
     lib.qz_xxh64_state_size.restype = ctypes.c_size_t
     lib.qz_xxh64_init.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.qz_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -259,6 +263,30 @@ def fill_gaps(block: np.ndarray, lit: np.ndarray, off: np.ndarray,
                 last_literals)  # overflow: keep the original parse
     return (ll[:new_n].astype(np.int64), of[:new_n].astype(np.int64),
             mm[:new_n].astype(np.int64), int(lastlit.value))
+
+
+def dec_lz4s(stream: bytes | np.ndarray, capacity: int | None = None):
+    """Decode an LZ4s token stream into (lit, off, ml) claim arrays —
+    the native analog of the reference's QZSTD_decLz4s (the
+    accelerator->CPU interop surface; format contract pinned by
+    format/lz4s.py, byte-identical by differential test). Raises
+    ValueError on malformed streams or capacity overflow."""
+    lib = _load()
+    assert lib is not None
+    arr = (np.ascontiguousarray(stream, np.uint8)
+           if isinstance(stream, np.ndarray)
+           else np.frombuffer(stream, np.uint8))
+    n = len(arr)
+    cap = capacity if capacity is not None else n + 16
+    ll = np.empty(cap, np.uint32)
+    of = np.empty(cap, np.uint32)
+    ml = np.empty(cap, np.uint32)
+    got = lib.qz_dec_lz4s(arr.ctypes.data, n, ll.ctypes.data,
+                          of.ctypes.data, ml.ctypes.data, cap)
+    if got == ctypes.c_size_t(-1).value:
+        raise ValueError("malformed LZ4s stream or capacity exceeded")
+    return (ll[:got].astype(np.int64), of[:got].astype(np.int64),
+            ml[:got].astype(np.int64))
 
 
 def find_sequences(block: np.ndarray, chain_depth: int, lazy: bool,

@@ -2360,6 +2360,79 @@ size_t qz_block_body_external_seqsec(
   return total;
 }
 
+// LZ4s token-stream ingest — the native analog of the reference's CPU
+// hot loop (QZSTD_decLz4s, src/qatseqprod.c:1013-1091; format contract
+// pinned by format/lz4s.py, the golden model this is differentially
+// tested against). Decodes a hardware-produced LZ4s stream into claim
+// triples ready for qz_extend_sequences: 4-bit nibbles with 255-saturated
+// extensions, LE16 offsets, +2 match bias (3-byte minimum), zero-match
+// literal-run accumulation, final literals-only entry (counted).
+// Returns the sequence count, SIZE_MAX on malformed input or capacity
+// overflow (the producer-error posture). last entry (off=0, ml=0)
+// carries the tail literals in lit_lens[count-1].
+size_t qz_dec_lz4s(const uint8_t* stream, size_t n, uint32_t* lit_lens,
+                   uint32_t* offsets, uint32_t* match_lens, size_t cap) {
+  size_t ip = 0;
+  size_t out = 0;
+  uint64_t hist = 0;
+  bool ended_in_literals = false;
+  while (ip < n) {
+    uint32_t token = stream[ip++];
+    uint64_t lit = token >> 4;
+    if (lit == 15) {
+      while (true) {
+        if (ip >= n) return static_cast<size_t>(-1);  // truncated run
+        uint32_t b = stream[ip++];
+        lit += b;
+        if (b != 255) break;
+      }
+    }
+    ip += lit;  // the literal bytes ride the stream
+    if (ip > n) return static_cast<size_t>(-1);
+    if (ip == n) {  // final literals-only sequence (:1037-1045)
+      if (out >= cap) return static_cast<size_t>(-1);
+      lit_lens[out] = static_cast<uint32_t>(lit + hist);
+      offsets[out] = 0;
+      match_lens[out] = 0;
+      ++out;
+      ended_in_literals = true;
+      break;
+    }
+    if (ip + 2 > n) return static_cast<size_t>(-1);  // truncated offset
+    uint32_t off = stream[ip] | (stream[ip + 1] << 8);
+    ip += 2;
+    uint64_t ml = token & 15;
+    if (ml == 15) {
+      while (true) {
+        if (ip >= n) return static_cast<size_t>(-1);
+        uint32_t b = stream[ip++];
+        ml += b;
+        if (b != 255) break;
+      }
+    }
+    if (ml != 0) {
+      ml += 2;  // LZ4MINMATCH bias -> 3-byte minimum (:1060-1062)
+      if (off == 0) return static_cast<size_t>(-1);
+      if (out >= cap) return static_cast<size_t>(-1);  // :1073-1076
+      lit_lens[out] = static_cast<uint32_t>(lit + hist);
+      offsets[out] = off;
+      match_lens[out] = static_cast<uint32_t>(ml);
+      hist = 0;
+      ++out;
+    } else {
+      hist += lit;  // literal-run continuation (:1077-1084)
+    }
+  }
+  if (!ended_in_literals) {  // stream ended right after a match (:1090)
+    if (out >= cap) return static_cast<size_t>(-1);
+    lit_lens[out] = static_cast<uint32_t>(hist);
+    offsets[out] = 0;
+    match_lens[out] = 0;
+    ++out;
+  }
+  return out;
+}
+
 // Software matcher (native fallback). `base` holds ctx_len bytes of
 // window context followed by the n-byte block (ctx_len = 0 for stateless
 // blocks). Writes up to cap sequences; returns the count, sets

@@ -11,7 +11,7 @@
 // compressAndVerify trust boundary the device path relies on).
 //
 // Usage: qz_fuzz <target> <seconds> <corpus_dir>
-//   targets: roundtrip | extend | mt
+//   targets: roundtrip | extend | stream | lz4s | mt
 // Exit 0 = clean run; ASan/UBSan abort or oracle mismatch = failure, the
 // offending input is at <corpus_dir>/last_input.
 
@@ -40,6 +40,8 @@ size_t qz_fill_gaps(const uint8_t*, size_t, size_t, uint32_t*, uint32_t*,
 size_t qz_block_body(const uint8_t*, size_t, const uint32_t*,
                      const uint32_t*, const uint32_t*, size_t, uint32_t,
                      int, int, int, uint8_t*, size_t);
+size_t qz_dec_lz4s(const uint8_t*, size_t, uint32_t*, uint32_t*,
+                   uint32_t*, size_t);
 void qz_compress_blocks_mt(const uint8_t*, size_t, size_t, int, int, int,
                            int, int, int, int, int, uint8_t*, uint32_t*);
 }
@@ -209,6 +211,52 @@ static bool target_extend(const uint8_t* data, size_t n) {
   std::vector<uint8_t> body(blk_len + 1024);
   size_t bl = qz_block_body(blk, blk_len, ll.data(), of.data(), ml.data(),
                             n2, last, q.custom, q.huffman, q.lazy,
+                            body.data(), body.size());
+  std::vector<uint8_t> f;
+  frame_begin(&f, 19);
+  frame_block(&f, body.data(), bl, blk, blk_len, true);
+  return oracle_check(f, blk, blk_len);
+}
+
+// Device-claim ingestion via the LZ4s wire format (the reference's
+// accelerator->CPU interop surface, QZSTD_decLz4s): fuzzed bytes are
+// split into an LZ4s token stream and block content; the decoded claims
+// cross the same extend/gap-fill trust boundary as device claims and
+// must always yield a stock-decodable frame. Malformed streams must be
+// rejected (SIZE_MAX), never crash.
+static bool target_lz4s(const uint8_t* data, size_t n) {
+  Params q = carve(data, n);
+  if (n < 96 || n > 131072) return true;
+  size_t stream_bytes = n / 4;
+  const uint8_t* st = data;
+  size_t blk_len = n - stream_bytes;
+  const uint8_t* blk = data + stream_bytes;
+  size_t cap = stream_bytes + 16;
+  std::vector<uint32_t> ll(cap), of(cap), ml(cap);
+  size_t ns = qz_dec_lz4s(st, stream_bytes, ll.data(), of.data(),
+                          ml.data(), cap);
+  if (ns == static_cast<size_t>(-1)) return true;  // rejected: fine
+  if (ns == 0) return true;
+  // The decoded triples tile SOME span; clamp to this block's bytes the
+  // way a producer integration would (drop claims past the block, fold
+  // the remainder into last-literals).
+  uint64_t span = 0;
+  size_t keep = 0;
+  for (size_t i = 0; i + 1 < ns; ++i) {
+    if (span + ll[i] + ml[i] > blk_len) break;
+    span += ll[i] + ml[i];
+    ++keep;
+  }
+  uint32_t last = static_cast<uint32_t>(blk_len - span);
+  size_t n1 = qz_extend_sequences(blk, 0, blk_len, ll.data(), of.data(),
+                                  ml.data(), keep, &last, 1u << 19);
+  if (!tiling_ok(ll.data(), of.data(), ml.data(), n1, last, blk_len)) {
+    fprintf(stderr, "INVARIANT: lz4s extend output does not tile\n");
+    return false;
+  }
+  std::vector<uint8_t> body(blk_len + 1024);
+  size_t bl = qz_block_body(blk, blk_len, ll.data(), of.data(), ml.data(),
+                            n1, last, q.custom, q.huffman, 0,
                             body.data(), body.size());
   std::vector<uint8_t> f;
   frame_begin(&f, 19);
@@ -414,6 +462,7 @@ int main(int argc, char** argv) {
       target == "roundtrip" ? target_roundtrip
       : target == "extend"  ? target_extend
       : target == "stream"  ? target_stream
+      : target == "lz4s"    ? target_lz4s
                             : target_mt;
 
   // Seeds: structured text, runs, random, repeats (aligned + misaligned).

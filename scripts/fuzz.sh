@@ -7,7 +7,7 @@ SECS="${1:-600}"
 ROOT="${2:-.fuzz_corpus}"
 (cd qat_zstd_plugin_tpu/native && bash build.sh fuzz)
 mkdir -p "$ROOT"
-for t in roundtrip extend mt; do
+for t in roundtrip extend stream lz4s mt; do
     echo "=== $t ($SECS s) ==="
     ./qat_zstd_plugin_tpu/native/qz_fuzz "$t" "$SECS" "$ROOT/$t"
 done

@@ -35,7 +35,7 @@ def fuzzer(tmp_path_factory):
 MIN_EDGES = {"roundtrip": 500, "extend": 500, "mt": 500, "stream": 120}
 
 
-@pytest.mark.parametrize("target", ["roundtrip", "extend", "mt", "stream"])
+@pytest.mark.parametrize("target", ["roundtrip", "extend", "mt", "stream", "lz4s"])
 def test_fuzz_target_clean(fuzzer, target, tmp_path):
     corpus = tmp_path / target
     r = subprocess.run([fuzzer, target, "10", str(corpus)],

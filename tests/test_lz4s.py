@@ -84,3 +84,72 @@ def test_capacity_guard():
     with pytest.raises(Lz4sFormatError):
         lz4s.decode(stream, capacity=3)
     assert len(lz4s.decode(stream, capacity=10)) == 6
+
+
+def test_native_decoder_differential():
+    """The native qz_dec_lz4s must agree with the Python format contract
+    on random valid streams AND reject exactly what Python rejects on
+    mutated ones (the accelerator->CPU interop ABI the reference exposes
+    as QZSTD_decLz4s, src/qatseqprod.c:1013-1091)."""
+    from qat_zstd_plugin_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    for trial in range(40):
+        # Build a valid stream via the encoder, then (half the time)
+        # mutate it to exercise the error paths.
+        nseq = int(rng.integers(1, 40))
+        seqs = []
+        lits = b""
+        for _ in range(nseq - 1):
+            ll = int(rng.integers(0, 40)) if rng.random() < 0.9 else \
+                int(rng.integers(0, 600))
+            ml = int(rng.integers(3, 50)) if rng.random() < 0.9 else \
+                int(rng.integers(3, 700))
+            off = int(rng.integers(1, 65536))
+            seqs.append(Sequence(off, ll, ml))
+            lits += bytes(rng.integers(0, 256, ll, np.uint8))
+        tail = int(rng.integers(0, 50))
+        seqs.append(Sequence(0, tail, 0))
+        lits += bytes(rng.integers(0, 256, tail, np.uint8))
+        stream = bytearray(lz4s.encode(seqs, lits))
+        if trial % 2 and len(stream) > 2:
+            k = int(rng.integers(1, 4))
+            if k == 1:
+                stream = stream[:int(rng.integers(1, len(stream)))]
+            elif k == 2:
+                stream[int(rng.integers(0, len(stream)))] = int(
+                    rng.integers(0, 256))
+            else:
+                stream += bytes(rng.integers(0, 256,
+                                             int(rng.integers(1, 8)),
+                                             np.uint8))
+        stream = bytes(stream)
+        try:
+            py = lz4s.decode(stream)
+            py_err = False
+        except Lz4sFormatError:
+            py_err = True
+        try:
+            ll_n, of_n, ml_n = native.dec_lz4s(stream)
+            nat_err = False
+        except ValueError:
+            nat_err = True
+        assert py_err == nat_err, (trial, stream.hex())
+        if not py_err:
+            assert len(py) == len(ll_n)
+            for i, s in enumerate(py):
+                assert (s.lit_length, s.offset, s.match_length) == (
+                    int(ll_n[i]), int(of_n[i]), int(ml_n[i])), (trial, i)
+
+
+def test_native_decoder_capacity():
+    from qat_zstd_plugin_tpu import native
+    if not native.available():
+        pytest.skip("no native toolchain")
+    seqs = [Sequence(1, 0, 3) for _ in range(10)] + [Sequence(0, 0, 0)]
+    stream = lz4s.encode(seqs, b"")
+    with pytest.raises(ValueError):
+        native.dec_lz4s(stream, capacity=5)
+    ll, of, ml = native.dec_lz4s(stream, capacity=11)
+    assert len(ll) == 11
