@@ -32,7 +32,8 @@ def fuzzer(tmp_path_factory):
 # sweep matcher+entropy; `stream` only reaches the matcher through the
 # producer callback (libzstd itself is uninstrumented), so its honest
 # floor is lower.
-MIN_EDGES = {"roundtrip": 500, "extend": 500, "mt": 500, "stream": 120}
+MIN_EDGES = {"roundtrip": 500, "extend": 500, "mt": 500, "stream": 120,
+             "lz4s": 400}
 
 
 @pytest.mark.parametrize("target", ["roundtrip", "extend", "mt", "stream", "lz4s"])
