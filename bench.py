@@ -255,10 +255,11 @@ def main() -> None:
 
         de_chain = _chain_timer(run_de, lambda out: out[0][0, 0, 0])
         de_chain(1)
-        # Short spans: the mode is format-bound at single-digit MB/s
-        # (sequential FSE state chain; BENCH_NOTES.md), so long chains
-        # would stall the capture for minutes.
-        de_samples = _sample_mbs(de_chain, lb * BLOCK, 2, span=3)
+        # r4 correction: the mode measures ~90-100 MB/s once its stages
+        # were profiled separately (the r3 3-18 MB/s readings came from
+        # span-3 chains on a jittery relay; BENCH_NOTES.md round-4 lane
+        # section) — spans like the other rows are affordable.
+        de_samples = _sample_mbs(de_chain, lb * BLOCK, 3, span=6)
         de_mbs = round(_median_spread(de_samples)[0], 1)
     except Exception as exc:  # keep the primary row alive
         print(f"device_entropy row failed: {exc!r}", file=sys.stderr)

@@ -1594,8 +1594,12 @@ struct StreamMatcher {
   // the window/ordering guards reject stale entries, so staleness can
   // cost a probe but never correctness.
   static constexpr int kFastHashLog = 17;
-  std::vector<int32_t> fhead;   // most recent position per bucket
-  std::vector<int32_t> fhead2;  // previous occupant (2-way probe)
+  // 2-way entries interleaved in one u64 (low 32 = most recent, high 32
+  // = previous): both candidates arrive in ONE cache-line touch and the
+  // shift-in update is one store — the split-array layout paid two
+  // misses per probe on the 1 MB of tables (measured ~12% of the
+  // matcher).
+  std::vector<uint64_t> fpair;
   std::vector<int32_t> lhead;   // 8-byte-gram table (L2 long probe)
 
   uint32_t fhash_at(size_t p) const {
@@ -1607,15 +1611,12 @@ struct StreamMatcher {
                                  (64 - kFastHashLog));
   }
   void ensure_fast_tables() {
-    if (fhead.empty()) {
-      fhead.assign(size_t(1) << kFastHashLog, -1);
-      fhead2.assign(size_t(1) << kFastHashLog, -1);
-    }
+    if (fpair.empty())
+      fpair.assign(size_t(1) << kFastHashLog, ~uint64_t(0));  // -1, -1
   }
   void insert_fast(size_t p) {
     uint32_t h = fhash_at(p);
-    fhead2[h] = fhead[h];
-    fhead[h] = static_cast<int32_t>(p);
+    fpair[h] = (fpair[h] << 32) | static_cast<uint32_t>(p);
     if (!lhead.empty()) lhead[lhash_at(p)] = static_cast<int32_t>(p);
   }
   uint32_t lhash_at(size_t p) const {  // full 8-byte gram
@@ -1665,11 +1666,13 @@ struct StreamMatcher {
       // --- probe with acceleration: step grows with the literal run ---
       while (scan <= safe_end) {
         uint32_t h = fhash_at(scan);
-        int32_t cand0 = fhead[h];
-        int32_t cand1 = fhead2[h];
+        // 2-way stays: a 1-way table measured +1.5% ratio on mixed and
+        // +4% on text for ~+8% speed — the wrong trade for this path.
+        uint64_t pr = fpair[h];
+        int32_t cand0 = static_cast<int32_t>(pr);
+        int32_t cand1 = static_cast<int32_t>(pr >> 32);
         int32_t candL = -1;
-        fhead2[h] = cand0;
-        fhead[h] = static_cast<int32_t>(scan);
+        fpair[h] = (pr << 32) | static_cast<uint32_t>(scan);
         if (use_long) {
           uint32_t lh = lhash_at(scan);
           candL = lhead[lh];
@@ -1723,7 +1726,10 @@ struct StreamMatcher {
           }
         }
         if (len) break;
-        scan += 1 + ((scan - lit_start) >> 8);
+#ifndef QZ_FAST_ACCEL
+#define QZ_FAST_ACCEL 8
+#endif
+        scan += 1 + ((scan - lit_start) >> QZ_FAST_ACCEL);
       }
       if (!len) break;  // no more matches in the block
       // Backward extension into the pending literal run.
