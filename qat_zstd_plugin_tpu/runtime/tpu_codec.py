@@ -88,10 +88,12 @@ TPU_LEVEL_TABLE = {
     4: TpuLevelParams(2, window=32768, matcher="hash",
                       widths=(4, 5, 6, 8), ldm=16, dense=True),
     # Content levels carry minimizer LDM too (offsets to 256K compete in
-    # the parse) — their local window is segment-bound at 32K while
-    # stock's deep levels search multi-megabyte windows.
-    5: TpuLevelParams(4, lazy=True, window=32768, ldm=4),
-    6: TpuLevelParams(6, lazy=True, window=32768, ldm=4),
+    # the parse). L5-L6 sort whole blocks (nseg=1): the 32K-segmented
+    # sorts were the deep levels' text weakness (r4 measured: L5 text
+    # 1.015x stock segmented -> 0.996x full-block, mixed 0.961 -> 0.948;
+    # deep levels trade sort speed for ratio by design).
+    5: TpuLevelParams(4, lazy=True, window=131072, ldm=4),
+    6: TpuLevelParams(6, lazy=True, window=131072, ldm=4),
     7: TpuLevelParams(6, lazy=True, ldm=4),
     8: TpuLevelParams(8, lazy=True, ldm=4),
     9: TpuLevelParams(8, lazy=True, ldm=4),
