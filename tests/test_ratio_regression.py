@@ -21,10 +21,12 @@ after the unified finishing walk with claim competition):
     L3              0.968    1.010   0.964   0.869
 
 Known residuals (documented, bounded): software L1/L3 sit within ~1.1%
-of stock on text-heavy data (the single-probe/chain matchers without the
-walk's gap probing — the L1 speed point's trade); device deep levels on
-text: L5 ~1.015x, L12 ~1.031x (content-sort matcher at a 32K segment
-window vs stock's multi-MB btopt windows).
+of stock on multi-MB text-heavy data (the single-probe/chain matchers
+without the walk's gap probing — the L1 speed point's trade; at 1 MB
+software L1 beats stock on every probe corpus); device text L6 ~1.006x
+and L12 ~1.031x (greedy content parse vs stock's btopt at deep levels —
+L5's gap closed when L5-L6 moved to whole-block sorts: text 1.015 ->
+0.996, mixed 0.961 -> 0.948).
 """
 
 import numpy as np
