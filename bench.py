@@ -357,9 +357,10 @@ def _run_with_watchdog() -> None:
     import subprocess
     env = dict(os.environ, QZ_BENCH_CHILD="1")
     try:
+        deadline = int(os.environ.get("QZ_BENCH_TIMEOUT", "2400"))
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, timeout=2400, capture_output=True, text=True)
+            env=env, timeout=deadline, capture_output=True, text=True)
         sys.stderr.write(r.stderr)
         line = ""
         for ln in r.stdout.splitlines():
