@@ -232,3 +232,69 @@ def test_fast_matcher_ratio_sane_vs_chain():
 
     fast, chain = csize(2), csize(8)  # depth 8 routes to the chain matcher
     assert fast <= chain * 1.06, (fast, chain)  # measured 1.042 vs chain-8
+
+
+def test_fill_gaps_claim_competition():
+    """A claim pointing at a WORSE occurrence (farther source that
+    diverges sooner) must be replaced by the chain's better candidate —
+    the r4 competition that closed the device text gap. Construct: the
+    pattern appears at A (long context match) and B (short match); the
+    claim names B."""
+    rng = np.random.default_rng(23)
+    pat = rng.integers(0, 256, 64, np.uint8).astype(np.uint8)
+    junk1 = rng.integers(0, 256, 3000, np.uint8).astype(np.uint8)
+    junk2 = rng.integers(0, 256, 500, np.uint8).astype(np.uint8)
+    # Layout: [A: pat(64)] junk1 [B: pat[:8] then junk] junk2 [P: pat(64)]
+    b_occ = np.concatenate([pat[:8], rng.integers(0, 256, 56, np.uint8)
+                            .astype(np.uint8)])
+    block = np.concatenate([pat, junk1, b_occ, junk2, pat,
+                            rng.integers(0, 256, 2000, np.uint8)
+                            .astype(np.uint8)])
+    p_pos = 64 + len(junk1) + 64 + len(junk2)
+    b_pos = 64 + len(junk1)
+    # Claim at P names the B occurrence (verifies only 8 bytes).
+    ll = np.array([p_pos], np.int64)
+    of = np.array([p_pos - b_pos], np.int64)
+    ml = np.array([8], np.int64)
+    last = len(block) - p_pos - 8
+    ll, of, ml, last = native.extend_sequences(block, ll, of, ml, last)
+    ll, of, ml, last = native.fill_gaps(
+        block, ll, of, ml, last, ctx_len=0, chain_depth=8, mml=4,
+        min_gap=4, relaxed=True)
+    hit = (of == p_pos) & (ml >= 60)  # switched to the A occurrence
+    assert hit.any(), list(zip(ll.tolist(), of.tolist(), ml.tolist()))
+    assert ll.sum() + ml.sum() + last == len(block)
+    matcher.validate_sequences(block, BlockSequences(ll, of, ml, last),
+                               ctx_len=0)
+
+
+def test_fill_gaps_overrun_trims_claim():
+    """A gap match may extend PAST the gap into a downstream claim,
+    front-trimming it (coverage never decreases) — the r4 fix for the
+    fragmentation signature. Construct: a long repeat whose claim only
+    covers its tail; the gap probe finds the full repeat."""
+    rng = np.random.default_rng(29)
+    seg = rng.integers(0, 256, 400, np.uint8).astype(np.uint8)
+    junk = rng.integers(0, 256, 2000, np.uint8).astype(np.uint8)
+    tail = rng.integers(0, 256, 1500, np.uint8).astype(np.uint8)
+    # [seg][junk][seg again]; claim covers only the LAST 100 bytes of
+    # the second seg (the first 300 bytes sit in a "gap").
+    block = np.concatenate([seg, junk, seg, tail])
+    rep_start = 400 + len(junk)
+    ll = np.array([rep_start + 300], np.int64)
+    of = np.array([rep_start + 300 - (400 + len(junk)) + 400 + len(junk)
+                   - 300 - 100 + 100], np.int64)  # == len(seg)+len(junk)
+    of = np.array([400 + len(junk)], np.int64)
+    ml = np.array([100], np.int64)
+    last = len(block) - rep_start - 400
+    ll, of, ml, last = native.extend_sequences(block, ll, of, ml, last)
+    ll, of, ml, last = native.fill_gaps(
+        block, ll, of, ml, last, ctx_len=0, chain_depth=8, mml=4,
+        min_gap=4, relaxed=True)
+    # The full 400-byte repeat must be (mostly) matched: total matched
+    # bytes at the repeat's offset >= 390.
+    cover = ml[(of == 400 + len(junk))].sum()
+    assert cover >= 390, list(zip(ll.tolist(), of.tolist(), ml.tolist()))
+    assert ll.sum() + ml.sum() + last == len(block)
+    matcher.validate_sequences(block, BlockSequences(ll, of, ml, last),
+                               ctx_len=0)
