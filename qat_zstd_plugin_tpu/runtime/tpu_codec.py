@@ -477,6 +477,7 @@ class TpuCodec:
                 min_gap=4,
                 relaxed=fast)
             seqs = BlockSequences(ll, of, ml, lastlit)
+        from_fallback = seqs is None
         if seqs is None:
             if use_native:
                 try:
@@ -494,10 +495,32 @@ class TpuCodec:
         custom = self.params.custom_tables and gp.custom_tables
         first = frame_start and i == 0  # frame rep-history init
         if use_native:
-            return native.block_body(
+            body = native.block_body(
                 blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
                 seqs.last_literals, custom, self.params.huffman,
                 first_block=first)
+            if self.level >= 9 and not from_fallback:
+                # Deep levels: best-of-two parses. The device content
+                # parse is greedy over sort candidates; the host chain
+                # matcher (depth 64-256, lazy) wins on some
+                # compositions (r4 measured: text L12 device 1.030x
+                # stock vs host re-match 0.944x) — deep levels are
+                # rated for ratio, so spend the second parse and keep
+                # the smaller body per block (the zstd posture at its
+                # own top levels: try more, keep the best).
+                try:
+                    ll, of, ml, lastlit = native.find_sequences(
+                        cblk[ctx - ctx_find:], gp.chain_depth,
+                        gp.lazy, ctx_len=ctx_find, mml=gp.mml)
+                    alt = native.block_body(
+                        blk, ll, of, ml, lastlit, custom,
+                        self.params.huffman, first_block=first)
+                    if alt is not None and (
+                            body is None or len(alt) < len(body)):
+                        body = alt
+                except OverflowError:
+                    pass
+            return body
         try:
             return frame.encode_block_body(
                 blk, seqs, allow_custom_tables=custom,

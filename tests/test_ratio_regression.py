@@ -78,7 +78,7 @@ def test_device_vs_stock_per_level(corpus):
     from 1.0007x to 0.962x on this corpus; all of L1-L5 and L9 now sit
     BELOW stock (VERDICT r3 #1 done criterion: bounds at 1.0 for L1/L2)."""
     for lvl, bound in ((1, 0.99), (2, 0.98), (3, 0.97), (4, 0.96),
-                       (5, 0.98), (9, 0.97)):
+                       (5, 0.97), (9, 0.96)):
         ours = _ratio(TpuCodec(level=lvl, batch=4, use_device=True), corpus)
         stock = len(oracle.compress(corpus, lvl)) / len(corpus)
         assert ours <= stock * bound, (lvl, ours, stock)
