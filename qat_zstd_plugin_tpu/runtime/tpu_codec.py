@@ -499,15 +499,15 @@ class TpuCodec:
                 blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
                 seqs.last_literals, custom, self.params.huffman,
                 first_block=first)
-            if self.level >= 9 and not from_fallback:
+            if self.level >= 5 and not from_fallback:
                 # Deep levels: best-of-two parses. The device content
                 # parse is greedy over sort candidates; the host chain
-                # matcher (depth 64-256, lazy) wins on some
-                # compositions (r4 measured: text L12 device 1.030x
-                # stock vs host re-match 0.944x) — deep levels are
-                # rated for ratio, so spend the second parse and keep
-                # the smaller body per block (the zstd posture at its
-                # own top levels: try more, keep the best).
+                # matcher (depth 8-256, lazy) wins on some compositions
+                # (r4 measured: text L12 device 1.030x stock vs host
+                # re-match 0.944x; text L7 1.017x -> 0.921x) — the lazy
+                # levels are rated for ratio, so spend the second parse
+                # and keep the smaller body per block (the zstd posture
+                # at its own top levels: try more, keep the best).
                 try:
                     ll, of, ml, lastlit = native.find_sequences(
                         cblk[ctx - ctx_find:], gp.chain_depth,
