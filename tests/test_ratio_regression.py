@@ -20,13 +20,13 @@ after the unified finishing walk with claim competition):
     L2              0.937    0.838   0.961   0.689
     L3              0.968    1.010   0.964   0.869
 
-Known residuals (documented, bounded): software L1/L3 sit within ~1.1%
-of stock on multi-MB text-heavy data (the single-probe/chain matchers
-without the walk's gap probing — the L1 speed point's trade; at 1 MB
-software L1 beats stock on every probe corpus); device text L6 ~1.006x
-and L12 ~1.031x (greedy content parse vs stock's btopt at deep levels —
-L5's gap closed when L5-L6 moved to whole-block sorts: text 1.015 ->
-0.996, mixed 0.961 -> 0.948).
+Deep levels (L5+) additionally take the best of two parses per block
+(device content parse vs host chain re-match): text L9 0.890x, L12
+0.934x, L7 0.921x — every device level L1-L12 beats stock on every
+probe corpus. Known residual: software L1/L3 sit within ~1.1% of stock
+on multi-MB text-heavy data (the single-probe/chain matchers without
+the walk's gap probing — the L1 speed point's trade; at 1 MB software
+L1 beats stock on every probe corpus).
 """
 
 import numpy as np
