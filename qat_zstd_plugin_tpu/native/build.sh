@@ -38,7 +38,9 @@ elif [ "$1" = "fuzz" ]; then
     rm -f qz_entropy_cov.o qz_fuzz.o
 else
     OUT=libqz_entropy.so
-    g++ $ARCH_FLAGS -std=c++17 -shared -fPIC \
+    # -DNDEBUG: the reserve-contract asserts (BackwardBitWriter) stay
+    # live in the asan/fuzz builds and compile out of the hot path here.
+    g++ $ARCH_FLAGS -DNDEBUG -std=c++17 -shared -fPIC \
         -fstack-protector-strong -fwrapv -Wall -Wextra -Wno-unused-parameter \
         qz_entropy.cc -o "$OUT.tmp.$$"
 fi

@@ -15,6 +15,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cassert>
 #include <thread>
 #include <cmath>
 #include <cstddef>
@@ -51,6 +52,10 @@ struct BackwardBitWriter {
   // store endian-neutral (advisor r3); GCC folds the four shifts into
   // one 32-bit store on little-endian hosts.
   inline void add(uint64_t value, int nb) {
+    // Reserve contract (advisor r4): every call site sizes the buffer
+    // via reserve_bytes() before adding; enforce it in debug/fuzz
+    // builds so a future wider field fails an assert, not the heap.
+    assert(pos + 8 <= out.size());
     acc |= value << nbits;
     nbits += nb;
     if (nbits >= 32) {
@@ -70,6 +75,7 @@ struct BackwardBitWriter {
   }
   std::vector<uint8_t> close() {
     add(1, 1);
+    assert(pos + 8 <= out.size());
     while (nbits > 0) {  // drain the <= 32-bit residue
       out[pos++] = static_cast<uint8_t>(acc & 0xFF);
       acc >>= 8;
@@ -2065,7 +2071,12 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
     const size_t Ei = i < nseq ? Mi + match_lens[i] : total;
     if (i < nseq && p >= Mi) {
       // Cursor reached (or overran into/past) claim i's match span.
-      if (p < Ei && Ei - p >= 4) {
+      // Untouched claims (p == Mi) emit at the format's 3-byte floor;
+      // only front-trimmed remnants require >= 4 (a trimmed verified
+      // match stays verified, but a 3-byte remnant of one prices worse
+      // than letting the rep probe reclaim it — and cap_overrun's
+      // Ej-4 >= p2 bound assumes remnants of < 4 never emit).
+      if (p < Ei && (Ei - p >= 4 || (p == Mi && Ei - p >= 3))) {
         size_t ml = Ei - p;
         uint32_t off = offsets[i];
         // Claim competition: the chain may know a longer or nearer

@@ -282,9 +282,7 @@ def test_fill_gaps_overrun_trims_claim():
     block = np.concatenate([seg, junk, seg, tail])
     rep_start = 400 + len(junk)
     ll = np.array([rep_start + 300], np.int64)
-    of = np.array([rep_start + 300 - (400 + len(junk)) + 400 + len(junk)
-                   - 300 - 100 + 100], np.int64)  # == len(seg)+len(junk)
-    of = np.array([400 + len(junk)], np.int64)
+    of = np.array([400 + len(junk)], np.int64)  # == len(seg)+len(junk)
     ml = np.array([100], np.int64)
     last = len(block) - rep_start - 400
     ll, of, ml, last = native.extend_sequences(block, ll, of, ml, last)
