@@ -24,6 +24,10 @@
 #include <queue>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace qz {
 
 // ---------------------------------------------------------------- bitstream
@@ -139,6 +143,35 @@ static inline uint32_t rd32(const uint8_t* p) {
   uint32_t v;
   std::memcpy(&v, p, 4);
   return v;
+}
+
+// Longest common prefix of a and b, capped at lim. The word loops end
+// with a ctz on the XOR of the mismatching word (the old byte tail paid
+// up to 7 extra compares per mismatch — and EVERY probe ends in exactly
+// one mismatch, so this is the per-probe fixed cost); AVX2 compares 32
+// bytes per step on long matches. This is the shared primitive of every
+// matcher/extension/walk probe in this file.
+static inline size_t lcp(const uint8_t* a, const uint8_t* b, size_t lim) {
+  size_t l = 0;
+#if defined(__AVX2__)
+  while (l + 32 <= lim) {
+    __m256i va = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(a + l));
+    __m256i vb = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(b + l));
+    uint32_t eq = static_cast<uint32_t>(
+        _mm256_movemask_epi8(_mm256_cmpeq_epi8(va, vb)));
+    if (eq != 0xFFFFFFFFu) return l + __builtin_ctz(~eq);
+    l += 32;
+  }
+#endif
+  while (l + 8 <= lim) {
+    uint64_t x = rd64(a + l) ^ rd64(b + l);
+    if (x) return l + (__builtin_ctzll(x) >> 3);
+    l += 8;
+  }
+  while (l < lim && a[l] == b[l]) ++l;
+  return l;
 }
 
 uint64_t xxh64(const uint8_t* p, size_t n, uint64_t seed) {
@@ -689,6 +722,70 @@ static std::vector<uint8_t> huf_stream(const uint8_t* data, size_t n,
   return out;
 }
 
+// Four-stream Huffman encode, interleaved: the 4-stream literal mode
+// (n > 1023) encodes four independent segments, and running their four
+// accumulator chains in ONE loop gives the out-of-order core 4-way ILP
+// where sequential huf_stream calls serialized on each chain's
+// acc/nbits dependency (measured ~2.5x on this stage). Per stream the
+// emitted bytes are IDENTICAL to huf_stream (same push/flush cadence).
+// seg = ceil(n/4); stream k covers [k*seg, min((k+1)*seg, n)).
+static void huf_stream4(const uint8_t* data, size_t n,
+                        const HuffmanTable& t,
+                        std::vector<uint8_t> out[4], size_t seg) {
+  uint32_t entry[256];
+  for (int s = 0; s < 256; ++s)
+    entry[s] = t.codes[s] | (static_cast<uint32_t>(t.nb_bits[s]) << 12);
+  struct St {
+    const uint8_t* d;
+    size_t i;
+    uint8_t* op;
+    uint64_t acc = 0;
+    int nbits = 0;
+  } st[4];
+  for (int k = 0; k < 4; ++k) {
+    size_t len = k < 3 ? seg : n - 3 * seg;
+    out[k].resize(len * 11 / 8 + 24);
+    st[k] = {data + k * seg, len, out[k].data(), 0, 0};
+  }
+  auto push = [&](St& s) {
+    uint32_t e = entry[s.d[--s.i]];
+    s.acc |= static_cast<uint64_t>(e & 0xFFF) << s.nbits;
+    s.nbits += e >> 12;
+  };
+  auto flush = [&](St& s) {
+    store64_le(s.op, s.acc);
+    s.op += s.nbits >> 3;
+    s.acc >>= s.nbits & ~7;
+    s.nbits &= 7;
+  };
+  while (st[0].i >= 4 && st[1].i >= 4 && st[2].i >= 4 && st[3].i >= 4) {
+    for (int k = 0; k < 4; ++k) {
+      St& s = st[k];
+      push(s);
+      push(s);
+      push(s);
+      push(s);
+      flush(s);
+    }
+  }
+  for (int k = 0; k < 4; ++k) {
+    St& s = st[k];
+    while (s.i >= 4) {
+      push(s);
+      push(s);
+      push(s);
+      push(s);
+      flush(s);
+    }
+    while (s.i > 0) push(s);
+    s.acc |= 1ull << s.nbits;  // close sentinel
+    ++s.nbits;
+    store64_le(s.op, s.acc);
+    s.op += (s.nbits + 7) >> 3;
+    out[k].resize(s.op - out[k].data());
+  }
+}
+
 // ------------------------------------------------------- literals section
 
 static void lit_header_rawrle(int lit_type, size_t n,
@@ -750,22 +847,18 @@ bool encode_literals_section(const uint8_t* lit, size_t n, bool try_huffman,
           payload = huf_stream(lit, n, t);
         } else {
           size_t seg = (n + 3) / 4;
-          std::vector<uint8_t> s0 = huf_stream(lit, seg, t);
-          std::vector<uint8_t> s1 = huf_stream(lit + seg, seg, t);
-          std::vector<uint8_t> s2 = huf_stream(lit + 2 * seg, seg, t);
-          std::vector<uint8_t> s3 = huf_stream(lit + 3 * seg, n - 3 * seg, t);
-          if (s0.size() <= 0xFFFF && s1.size() <= 0xFFFF &&
-              s2.size() <= 0xFFFF) {
-            for (auto* s : {&s0, &s1, &s2}) {
-              payload.push_back(s->size() & 0xFF);
-              payload.push_back((s->size() >> 8) & 0xFF);
+          static thread_local std::vector<uint8_t> ss[4];
+          huf_stream4(lit, n, t, ss, seg);
+          if (ss[0].size() <= 0xFFFF && ss[1].size() <= 0xFFFF &&
+              ss[2].size() <= 0xFFFF) {
+            payload.reserve(6 + ss[0].size() + ss[1].size() +
+                            ss[2].size() + ss[3].size());
+            for (int k = 0; k < 3; ++k) {
+              payload.push_back(ss[k].size() & 0xFF);
+              payload.push_back((ss[k].size() >> 8) & 0xFF);
             }
-            payload.insert(payload.end(), s0.begin(), s0.end());
-            payload.insert(payload.end(), s1.begin(), s1.end());
-            payload.insert(payload.end(), s2.begin(), s2.end());
-            payload.insert(payload.end(), s3.begin(), s3.end());
-          } else {
-            payload.clear();
+            for (int k = 0; k < 4; ++k)
+              payload.insert(payload.end(), ss[k].begin(), ss[k].end());
           }
         }
         size_t comp = tree.size() + payload.size();
@@ -921,51 +1014,57 @@ static const FseEncodeTable& predef_table(int kind) {
 }
 
 // Mode selection per code stream (mirrors format/sequences.py _plan_table).
-static bool plan_table(const std::vector<int>& codes, int kind,
-                       int max_accuracy, bool allow_custom, TablePlan* plan) {
+// Takes the precomputed histogram (the caller builds all three stream
+// histograms in one fused pass over the sequences — the old per-stream
+// code rescan was a measured share of the section's cost). hist must
+// cover [0, max_code]; n_codes is the sequence count.
+static bool plan_table(const int64_t* hist, int max_code, size_t n_codes,
+                       int kind, int max_accuracy, bool allow_custom,
+                       TablePlan* plan) {
   const int* dist = kind == 0 ? LL_DEFAULT_DIST
                               : (kind == 1 ? OF_DEFAULT_DIST : ML_DEFAULT_DIST);
   int dist_n = kind == 0 ? 36 : (kind == 1 ? 29 : 53);
   int def_al = kind == 1 ? 5 : 6;
 
-  int max_code = 0;
-  for (int c : codes) max_code = std::max(max_code, c);
-  std::vector<int64_t> hist(max_code + 1, 0);
-  for (int c : codes) ++hist[c];
-  int npresent = 0;
-  for (auto h : hist)
-    if (h > 0) ++npresent;
+  int npresent = 0, only = max_code;
+  for (int s = 0; s <= max_code; ++s)
+    if (hist[s] > 0) {
+      ++npresent;
+      if (npresent == 1) only = s;
+    }
   if (npresent == 1) {
     plan->mode = 1;
-    plan->rle_symbol = max_code;
-    for (size_t s = 0; s + 1 < hist.size(); ++s)
-      if (hist[s] > 0) plan->rle_symbol = static_cast<int>(s);
-    plan->desc = {static_cast<uint8_t>(plan->rle_symbol)};
+    plan->rle_symbol = only;
+    plan->desc = {static_cast<uint8_t>(only)};
     return true;
   }
   bool predef_ok = max_code < dist_n;
   double predef_cost = 1e30;
   if (predef_ok) {
     predef_cost = 0;
-    for (size_t s = 0; s < hist.size(); ++s) {
+    for (int s = 0; s <= max_code; ++s) {
       if (hist[s] == 0) continue;
       int p = dist[s] == -1 ? 1 : dist[s];
       predef_cost += hist[s] * (def_al - std::log2(double(p)));
     }
   }
-  if (allow_custom && codes.size() >= 2) {
+  if (allow_custom && n_codes >= 2) {
     int nbits = 1;
-    while ((size_t(1) << nbits) < codes.size()) ++nbits;
+    while ((size_t(1) << nbits) < n_codes) ++nbits;
     int accuracy = std::min(max_accuracy, std::max(5, nbits));
+    static thread_local std::vector<int64_t> htrim;
+    htrim.assign(hist, hist + max_code + 1);
     std::vector<int> norm;
-    if (normalize_counts(hist, accuracy,
-                         static_cast<int64_t>(codes.size()), &norm)) {
+    if (normalize_counts(htrim, accuracy,
+                         static_cast<int64_t>(n_codes), &norm)) {
       std::vector<uint8_t> desc;
       if (write_ncount(norm, accuracy, &desc)) {
         double cost = 8.0 * desc.size();
-        for (size_t s = 0; s < hist.size(); ++s) {
+        for (int s = 0; s <= max_code; ++s) {
           if (hist[s] == 0) continue;
-          int p = s < norm.size() ? (norm[s] == -1 ? 1 : norm[s]) : 0;
+          int p = static_cast<size_t>(s) < norm.size()
+                      ? (norm[s] == -1 ? 1 : norm[s])
+                      : 0;
           if (p <= 0) {
             cost = 1e30;
             break;
@@ -1068,15 +1167,31 @@ bool encode_sequences_section(const uint32_t* lit_lens,
   llc.resize(n);
   ofc.resize(n);
   mlc.resize(n);
+  // Fused code derivation + histograms: one pass feeds all three
+  // plan_table calls (codes are bounded — ll<=2^31 -> code 50,
+  // ml -> 67, of_val -> highbit 31 — so fixed 72-wide counters hold
+  // any input; out-of-alphabet codes still fail plan_table exactly as
+  // before via the max_code < dist_n check).
+  int64_t hll[72] = {0}, hof[72] = {0}, hml[72] = {0};
+  int max_ll = 0, max_of = 0, max_ml = 0;
   for (size_t i = 0; i < n; ++i) {
-    llc[i] = ll_code(lit_lens[i]);
-    mlc[i] = ml_code(match_lens[i]);
-    ofc[i] = highbit(ofvs[i]);
+    int lc = ll_code(lit_lens[i]);
+    int mc = ml_code(match_lens[i]);
+    int oc = highbit(ofvs[i]);
+    llc[i] = lc;
+    mlc[i] = mc;
+    ofc[i] = oc;
+    ++hll[lc];
+    ++hml[mc];
+    ++hof[oc];
+    max_ll = std::max(max_ll, lc);
+    max_ml = std::max(max_ml, mc);
+    max_of = std::max(max_of, oc);
   }
   TablePlan llp, ofp, mlp;
-  if (!plan_table(llc, 0, 9, allow_custom, &llp)) return false;
-  if (!plan_table(ofc, 1, 8, allow_custom, &ofp)) return false;
-  if (!plan_table(mlc, 2, 9, allow_custom, &mlp)) return false;
+  if (!plan_table(hll, max_ll, n, 0, 9, allow_custom, &llp)) return false;
+  if (!plan_table(hof, max_of, n, 1, 8, allow_custom, &ofp)) return false;
+  if (!plan_table(hml, max_ml, n, 2, 9, allow_custom, &mlp)) return false;
 
   out->push_back(static_cast<uint8_t>((llp.mode << 6) | (ofp.mode << 4) |
                                       (mlp.mode << 2)));
@@ -1285,11 +1400,7 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
     int32_t cand = head[hash_at(p)];
     int depth = chain_depth;
     while (cand >= 0 && depth > 0) {
-      size_t l = 0;
-      const uint8_t* a = base + cand;
-      const uint8_t* b = base + p;
-      while (l + 8 <= limit && rd64(a + l) == rd64(b + l)) l += 8;
-      while (l < limit && a[l] == b[l]) ++l;
+      size_t l = lcp(base + cand, base + p, limit);
       if (l > best) {
         best = l;
         boff = static_cast<uint32_t>(p - cand);
@@ -1328,12 +1439,7 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
   // wins (stock zstd's matchers embed the same preference).
   auto rep_probe = [&](size_t p, size_t* lr) -> bool {
     if (rep == 0 || p < static_cast<size_t>(rep)) return false;
-    size_t limit = total - p;
-    const uint8_t* bptr = base + p;
-    const uint8_t* aptr = bptr - rep;
-    size_t l = 0;
-    while (l + 8 <= limit && rd64(aptr + l) == rd64(bptr + l)) l += 8;
-    while (l < limit && aptr[l] == bptr[l]) ++l;
+    size_t l = lcp(base + p - rep, base + p, total - p);
     *lr = l;
     return l >= 3;
   };
@@ -1477,11 +1583,7 @@ struct StreamMatcher {
       while (cand >= 0 && depth > 0) {
         size_t cp = static_cast<size_t>(cand);
         if (cp >= p || p - cp > window) break;  // stale or out-of-window
-        size_t l = 0;
-        const uint8_t* a = base + cp;
-        const uint8_t* b = base + p;
-        while (l + 8 <= limit && rd64(a + l) == rd64(b + l)) l += 8;
-        while (l < limit && a[l] == b[l]) ++l;
+        size_t l = lcp(base + cp, base + p, limit);
         if (l > best) {
           best = l;
           boff = static_cast<uint32_t>(p - cp);
@@ -1507,12 +1609,7 @@ struct StreamMatcher {
     uint32_t rep = 0;
     auto rep_probe = [&](size_t p, size_t* lr) -> bool {
       if (rep == 0 || p < static_cast<size_t>(rep)) return false;
-      size_t limit = total - p;
-      const uint8_t* bptr = base + p;
-      const uint8_t* aptr = bptr - rep;
-      size_t l = 0;
-      while (l + 8 <= limit && rd64(aptr + l) == rd64(bptr + l)) l += 8;
-      while (l < limit && aptr[l] == bptr[l]) ++l;
+      size_t l = lcp(base + p - rep, base + p, total - p);
       *lr = l;
       return l >= 3;
     };
@@ -1580,6 +1677,9 @@ struct StreamMatcher {
 
 #ifndef QZ_FAST_INS_STRIDE
 #define QZ_FAST_INS_STRIDE 2
+#endif
+#ifndef QZ_FAST_ACCEL
+#define QZ_FAST_ACCEL 8
 #endif
 #ifndef QZ_FAST_REP_MIN
 #define QZ_FAST_REP_MIN 4
@@ -1654,13 +1754,7 @@ struct StreamMatcher {
     }
     const size_t safe_end = total - 8;  // fhash_at / rd64 window
     auto match_len_at = [&](size_t p, uint32_t o) -> size_t {
-      size_t lim = total - p;
-      size_t l = 0;
-      const uint8_t* a = base + p;
-      const uint8_t* b = a - o;
-      while (l + 8 <= lim && rd64(a + l) == rd64(b + l)) l += 8;
-      while (l < lim && a[l] == b[l]) ++l;
-      return l;
+      return lcp(base + p, base + p - o, total - p);
     };
     size_t lit_start = blk_off;
     size_t pos = blk_off;
@@ -1670,8 +1764,20 @@ struct StreamMatcher {
       uint32_t off = 0;
       size_t scan = pos;
       // --- probe with acceleration: step grows with the literal run ---
+      // Software-pipelined: the NEXT scan position's hash is computed
+      // and its table line prefetched while the current position's
+      // candidates verify — the fpair load (1 MB table, routinely a
+      // cache miss) was the dominant stall of this loop. The step
+      // depends only on (scan, lit_start), so the next position is
+      // known before the current one resolves.
+      uint32_t h = scan <= safe_end ? fhash_at(scan) : 0;
       while (scan <= safe_end) {
-        uint32_t h = fhash_at(scan);
+        size_t nscan = scan + 1 + ((scan - lit_start) >> QZ_FAST_ACCEL);
+        uint32_t hn = 0;
+        if (nscan <= safe_end) {
+          hn = fhash_at(nscan);
+          __builtin_prefetch(&fpair[hn]);
+        }
         // 2-way stays: a 1-way table measured +1.5% ratio on mixed and
         // +4% on text for ~+8% speed — the wrong trade for this path.
         uint64_t pr = fpair[h];
@@ -1732,10 +1838,8 @@ struct StreamMatcher {
           }
         }
         if (len) break;
-#ifndef QZ_FAST_ACCEL
-#define QZ_FAST_ACCEL 8
-#endif
-        scan += 1 + ((scan - lit_start) >> QZ_FAST_ACCEL);
+        scan = nscan;
+        h = hn;
       }
       if (!len) break;  // no more matches in the block
       // Backward extension into the pending literal run.
@@ -1977,13 +2081,8 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
     size_t limit = std::min(limit_abs, total) - p;
     if (limit < 3) return 0;
     size_t lrep = 0;
-    if (rep && p >= static_cast<size_t>(rep)) {
-      const uint8_t* a = base + p;
-      const uint8_t* b = a - rep;
-      while (lrep + 8 <= limit && qz::rd64(a + lrep) == qz::rd64(b + lrep))
-        lrep += 8;
-      while (lrep < limit && a[lrep] == b[lrep]) ++lrep;
-    }
+    if (rep && p >= static_cast<size_t>(rep))
+      lrep = qz::lcp(base + p, base + p - rep, limit);
     size_t best = 0;
     uint32_t boff = 0;
     if (limit >= 4 && p + 8 <= total) {  // hash_at reads 8 bytes
@@ -1991,12 +2090,7 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
       int depth = chain_depth < 4 ? 4 : chain_depth;
       while (cand >= 0 && depth > 0) {
         if (static_cast<size_t>(cand) < p) {  // skip later-seeded entries
-          size_t l = 0;
-          const uint8_t* a = base + cand;
-          const uint8_t* b = base + p;
-          while (l + 8 <= limit && qz::rd64(a + l) == qz::rd64(b + l))
-            l += 8;
-          while (l < limit && a[l] == b[l]) ++l;
+          size_t l = qz::lcp(base + cand, base + p, limit);
           if (l > best) {
             best = l;
             boff = static_cast<uint32_t>(p - cand);
@@ -2197,13 +2291,7 @@ size_t qz_extend_sequences(const uint8_t* base, size_t ctx_len, size_t n,
   // long-distance offset the next claim needs to resume with.
   uint32_t rep[3] = {0, 0, 0};
   auto lcp_at = [&](size_t p, uint32_t o) -> size_t {
-    size_t lim = n - p;
-    size_t l = 0;
-    const uint8_t* a = block + p;
-    const uint8_t* b = a - o;
-    while (l + 8 <= lim && qz::rd64(a + l) == qz::rd64(b + l)) l += 8;
-    while (l < lim && a[l] == b[l]) ++l;
-    return l;
+    return qz::lcp(block + p, block + p - o, n - p);
   };
   for (size_t i = 0; i < nseq; ++i) {
     size_t lit_start = orig_pos;
