@@ -265,15 +265,20 @@ def main() -> None:
         print(f"device_entropy row failed: {exc!r}", file=sys.stderr)
 
     # --- software A/B on the same corpus/level (reference -m0 analog).
-    # Median-of-3: this box's spare CPU swings wildly (observed 17->270
-    # MB/s for the same call when relay/driver processes wake), so a
-    # single-shot number is not a measurement.
+    # Median-of-5 after a deep warm: this box's spare CPU swings wildly
+    # (observed 17->270 MB/s for the same call when relay/driver
+    # processes wake), and fresh processes ramp for the first ~2
+    # full-size passes (hypervisor steal / cold caches — measured
+    # 104 -> 390 MB/s over 5 identical calls in r5), so the warm is two
+    # full-size passes and the median spans 5 samples.
     cpu_mbs = cpu_ratio = cpu_spread = None
+    cpu_frame = None
     try:
         cpu_codec = TpuCodec(level=LEVEL, use_device=False)
-        cpu_codec.compress(e2e_data[: 4 << 20])  # warm
+        cpu_codec.compress(e2e_data[: 4 << 20])  # warm: shape + pools
+        cpu_codec.compress(e2e_data)             # warm: full-size ramp
         cpu_samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             cpu_frame = cpu_codec.compress(e2e_data)
             cpu_samples.append(
@@ -284,6 +289,40 @@ def main() -> None:
         cpu_ratio = round(len(cpu_frame) / len(e2e_data), 4)
     except Exception as exc:
         print(f"cpu_native row failed: {exc!r}", file=sys.stderr)
+
+    # --- decompression throughput (the reference benchmark times a
+    # decompress phase, test/benchmark.c:350-369; decompression is always
+    # software there too). Oracle row: stock libzstd decoding our frame.
+    # Golden row: the in-repo golden decoder (pure NumPy) on a 2 MB
+    # slice — it is the no-libzstd fallback path, so decode-side
+    # regressions in either consumer show up across rounds.
+    decomp_mbs = decomp_golden_mbs = None
+    try:
+        dec_frame = cpu_frame if cpu_frame is not None else frame
+        if oracle.available():
+            oracle.decompress(dec_frame, len(e2e_data))  # warm
+            ds = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = oracle.decompress(dec_frame, len(e2e_data))
+                ds.append(len(out) / (time.perf_counter() - t0) / 1e6)
+            decomp_mbs = round(_median_spread(ds)[0], 1)
+    except Exception as exc:
+        print(f"decompress row failed: {exc!r}", file=sys.stderr)
+    try:
+        from qat_zstd_plugin_tpu.golden import decoder as golden_decoder
+        gslice = e2e_data[: 2 << 20]
+        gframe = (cpu_codec.compress(gslice) if cpu_mbs is not None
+                  else codec.compress(gslice))
+        t0 = time.perf_counter()
+        gout = golden_decoder.decompress(gframe)
+        dt = time.perf_counter() - t0
+        if bytes(gout) == bytes(gslice):
+            decomp_golden_mbs = round(len(gslice) / dt / 1e6, 2)
+        else:
+            print("golden decoder mismatch on bench frame", file=sys.stderr)
+    except Exception as exc:
+        print(f"golden decompress row failed: {exc!r}", file=sys.stderr)
 
     stock_ratio = None
     if oracle.available():
@@ -309,6 +348,8 @@ def main() -> None:
         "cpu_native_mbs": cpu_mbs,
         "cpu_native_spread": cpu_spread,
         "cpu_native_ratio": cpu_ratio,
+        "decompress_mbs": decomp_mbs,
+        "decompress_golden_mbs": decomp_golden_mbs,
         "stock_ratio": stock_ratio,
         "corpus_mb": CORPUS_MB,
         "note": "e2e is bound by the tunneled dev link (~30-110 MB/s); "

