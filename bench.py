@@ -264,6 +264,34 @@ def main() -> None:
     except Exception as exc:  # keep the primary row alive
         print(f"device_entropy row failed: {exc!r}", file=sys.stderr)
 
+    # --- hybrid device-entropy (device FSE sequence sections + host
+    # literals — the deployable PCIe-constrained point, VERDICT r4 #6).
+    # Same cache-warm gating as the full mode.
+    hy_mbs = hy_ratio = hy_ok = None
+    hy_marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache", "DE_HYBRID_WARM")
+    try:
+        if not os.path.exists(hy_marker):
+            raise RuntimeError("hybrid device-entropy compile cache not "
+                               "warm (see scripts/warm_de.py)")
+        hy_codec = TpuCodec(level=LEVEL, batch=lb, block_size=BLOCK,
+                            max_seq=16384, device_entropy="hybrid")
+        sub = data[: lb * BLOCK]
+        hy_frame = hy_codec.compress(sub)
+        hy_ratio = round(len(hy_frame) / len(sub), 4)
+        hy_ok = oracle.roundtrip_ok(hy_frame, sub) \
+            if oracle.available() else None
+
+        def run_hy():
+            return hy_codec._pipeline()(lblocks, llengths)
+
+        hy_chain = _chain_timer(run_hy, lambda out: out[0][0, 0, 0])
+        hy_chain(1)
+        hy_samples = _sample_mbs(hy_chain, lb * BLOCK, 3, span=6)
+        hy_mbs = round(_median_spread(hy_samples)[0], 1)
+    except Exception as exc:
+        print(f"hybrid device_entropy row failed: {exc!r}", file=sys.stderr)
+
     # --- software A/B on the same corpus/level (reference -m0 analog).
     # Median-of-5 after a deep warm: this box's spare CPU swings wildly
     # (observed 17->270 MB/s for the same call when relay/driver
@@ -345,6 +373,9 @@ def main() -> None:
         "device_entropy_mbs": de_mbs,
         "device_entropy_ratio": de_ratio,
         "device_entropy_bitexact": de_ok,
+        "hybrid_entropy_mbs": hy_mbs,
+        "hybrid_entropy_ratio": hy_ratio,
+        "hybrid_entropy_bitexact": hy_ok,
         "cpu_native_mbs": cpu_mbs,
         "cpu_native_spread": cpu_spread,
         "cpu_native_ratio": cpu_ratio,

@@ -2068,7 +2068,19 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
   size_t ctx_stride =
       comp_only ? 2
                 : (gap_bytes >= 8192 ? 2 : (gap_bytes >= 1024 ? 4 : 8));
-  for (size_t p = 0; p + 8 <= ctx_len; p += ctx_stride) insert(p);
+  // Seed with a prefetch horizon: the chained head/prev stores hit a
+  // random line of the 0.5 MB head table per position, and this loop
+  // (up to a full window of context per block) measured ~40% of the
+  // whole pass. Recomputing the hash for the prefetch costs ~4 cycles
+  // against a ~100-cycle miss.
+  {
+    const size_t ahead = 8 * ctx_stride;
+    for (size_t p = 0; p + 8 <= ctx_len; p += ctx_stride) {
+      if (p + ahead + 8 <= ctx_len)
+        __builtin_prefetch(&head[hash_at(p + ahead)]);
+      insert(p);
+    }
+  }
   // Rep state threaded through the WHOLE walk (emitted gap matches and
   // the original sequences both advance it, mirroring the decoder's
   // view): a gap match at the current rep offset costs ZERO offset bits
@@ -2083,6 +2095,18 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
     size_t lrep = 0;
     if (rep && p >= static_cast<size_t>(rep))
       lrep = qz::lcp(base + p, base + p - rep, limit);
+    // Rep early-out: a 64+ byte rep continuation pays zero offset bits;
+    // a chain candidate would need >= lrep + highbit(off)/8 extra bytes
+    // to outscore it, and the chain walk it saves is the dominant
+    // per-probe cost (measured 47% of the consumption pass in
+    // match_gap). The bar sits at 64 because structured records DO
+    // field longer same-period candidates against mid-length rep
+    // continuations (a 16-byte bar measured a 1.2% binary-corpus ratio
+    // loss); past 64 bytes an upset is a rounding error.
+    if (lrep >= 64) {
+      *off = rep;
+      return lrep;
+    }
     size_t best = 0;
     uint32_t boff = 0;
     if (limit >= 4 && p + 8 <= total) {  // hash_at reads 8 bytes
@@ -2179,8 +2203,14 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
         // the nearest sampled occurrence is often not the nearest
         // occurrence — measured as systematically shorter matches on
         // text). Same pricing as the extension walk: ~1 byte per 8
-        // offset bits, reps free.
-        {
+        // offset bits, reps free. Gated: claims already at the walk's
+        // rep offset skip the probe (a competitor pays offset bits the
+        // rep doesn't, so it must be strictly LONGER to win — rare
+        // against an established continuation); claims at any other
+        // offset always compete, because converting a churning offset
+        // to a rep of equal length is exactly the structured-records
+        // fix the competition exists for (r4: binary L1 1.06 -> 0.96).
+        if (off != rep || ml < 32) {
           uint32_t off2 = 0;
           size_t l2 = match_gap(p, total, &off2);
           if (l2 >= 4) {
@@ -2223,15 +2253,25 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
       continue;
     }
     const size_t ge = Mi;
+    size_t fails = 0;  // probe acceleration over unmatched stretches
     while (p < ge && p + 4 <= total) {
+      if (p + 16 <= total)  // hide the next probe's head-table miss
+        __builtin_prefetch(&head[hash_at(p + 1)]);
       uint32_t off = 0;
       size_t len = match_gap(p, total, &off);
       if (len == 0) {
         if (p + 8 <= total) insert(p);
-        ++p;
-        ++lead;
+        // Accelerate like the fast matcher: after 32 consecutive
+        // misses the stretch is reading as incompressible, so step
+        // 2, then 3, ... (capped at the gap end). Skipped positions
+        // cost nothing; the backward extension of the next hit
+        // recovers short overshoots.
+        size_t step = std::min(1 + (fails++ >> 5), ge - p);
+        p += step;
+        lead += step;
         continue;
       }
+      fails = 0;
       if (i < nseq) {
         // A gap match may overrun into claim i, but must consume it
         // whole or leave >= 4 bytes of it alive.

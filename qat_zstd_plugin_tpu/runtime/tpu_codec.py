@@ -163,7 +163,7 @@ class TpuCodec:
     def __init__(self, level: int = 1, batch: int | None = None,
                  block_size: int | None = None, max_seq: int | None = None,
                  parser: str | None = None, use_device: bool | None = None,
-                 device_entropy: bool = False):
+                 device_entropy: bool | str | None = None):
         if level not in TPU_LEVEL_TABLE:
             raise ValueError(
                 f"unsupported level {level}: supported range 1..12")
@@ -182,9 +182,27 @@ class TpuCodec:
         self.use_device = use_device
         self.checksum_default = cfg.checksum
         self.stats = BlockStats()
-        # device_entropy: the accelerator also emits the FSE sequence
-        # sections (predefined tables, no host extension) — the hybrid
-        # entropy mode; off by default in favour of best ratio.
+        # device_entropy: False/None = host entropy (default, best
+        # throughput on attached hardware); "hybrid" = the accelerator
+        # emits final FSE sequence sections and the host encodes only the
+        # literals (the deployable PCIe-constrained point: the device
+        # side is two fused stages at ~390/430 MB/s, BENCH_NOTES r4 lane
+        # section); True/"full" = device emits complete block bodies
+        # (sequence sections + Huffman literals — the smallest return
+        # link, bounded by the format-sequential FSE state chain). The
+        # static-config trade the QAT session makes once per session
+        # (src/qatseqprod.c:935-946). Env default: QZ_DEVICE_ENTROPY.
+        if device_entropy is None:
+            device_entropy = {"": False, "0": False, "off": False,
+                              "1": True, "full": True,
+                              "hybrid": "hybrid"}.get(
+                                  cfg.device_entropy, False)
+        if device_entropy == "full":
+            device_entropy = True
+        if device_entropy not in (False, True, "hybrid"):
+            raise ValueError(
+                f"device_entropy must be False, True/'full' or 'hybrid', "
+                f"got {device_entropy!r}")
         self.device_entropy = device_entropy
         self.fallback_batches = 0  # device failures absorbed by CPU path
         self._fn = None
@@ -217,6 +235,9 @@ class TpuCodec:
                 # speed — needs no native host verifier, so no
                 # _matcher() downgrade); deep levels keep the exact-LCP
                 # content matcher.
+                # Hybrid keeps literals on host: device_literals off.
+                dev_lits = (self.params.huffman
+                            and self.device_entropy is True)
                 if self.params.matcher == "hash":
                     def run(blocks, lengths):
                         return match_pipeline.find_matches_with_seqsec_hash(
@@ -225,7 +246,7 @@ class TpuCodec:
                             lazy=self.params.lazy,
                             window=self.params.window,
                             custom_tables=self.params.custom_tables,
-                            device_literals=self.params.huffman)
+                            device_literals=dev_lits)
                 else:
                     def run(blocks, lengths):
                         return match_pipeline.find_matches_with_seqsec(
@@ -236,7 +257,7 @@ class TpuCodec:
                             stride=self.params.stride,
                             window=self.params.window,
                             custom_tables=self.params.custom_tables,
-                            device_literals=self.params.huffman)
+                            device_literals=dev_lits)
             elif self._matcher() == "hash":
                 # Positions contract: device sends (pos, off) claims only;
                 # the host extension derives exact lengths (the lean

@@ -36,6 +36,10 @@ class Config:
     force_backend: str = ""        # "", "cpu", "tpu"
     checksum: bool = True
     debug_level: int = 0
+    # Entropy placement: "" / "0" / "off" = host entropy; "hybrid" =
+    # device FSE sequence sections + host literals (the deployable
+    # PCIe-constrained point); "1" / "full" = complete device bodies.
+    device_entropy: str = ""
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -46,6 +50,7 @@ class Config:
             force_backend=os.environ.get("QZ_FORCE_BACKEND", ""),
             checksum=_env_int("QZ_CHECKSUM", 1) != 0,
             debug_level=_env_int("QZ_DEBUG_LEVEL", 0),
+            device_entropy=os.environ.get("QZ_DEVICE_ENTROPY", "").lower(),
         )
 
 

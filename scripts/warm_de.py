@@ -40,6 +40,17 @@ def main() -> None:
     open(marker, "w").write("ok\n")
     print("device-entropy pipeline compiled and cached; marker written")
 
+    # Hybrid mode (device sequence sections + host literals) shares most
+    # stages but is its own jit program; warm it too so bench.py's
+    # hybrid row can run (marker DE_HYBRID_WARM).
+    hy = TpuCodec(level=1, batch=B, block_size=N, max_seq=16384,
+                  device_entropy="hybrid")
+    out = hy._pipeline()(blocks, lengths)
+    _ = int(np.asarray(out[0])[0, 0, 0])
+    open(os.path.join(repo, ".jax_cache", "DE_HYBRID_WARM"), "w").write(
+        "ok\n")
+    print("hybrid device-entropy pipeline cached; marker written")
+
 
 if __name__ == "__main__":
     main()

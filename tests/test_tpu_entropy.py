@@ -135,3 +135,42 @@ def test_device_entropy_end_to_end():
     f = c.compress(data)
     assert oracle.roundtrip_ok(f, data)
     assert len(f) < len(data) * 0.7
+
+
+@pytest.mark.skipif(not oracle.available(), reason="oracle missing")
+def test_hybrid_device_entropy_end_to_end():
+    """device_entropy='hybrid': the accelerator emits final FSE sequence
+    sections, the host encodes only the literals (VERDICT r4 #6 — the
+    deployable PCIe-constrained configuration, now a first-class knob)."""
+    from qat_zstd_plugin_tpu.runtime.tpu_codec import TpuCodec
+    rng = np.random.default_rng(3)
+    words_src = [b"device ", b"entropy ", b"coding ", b"zstd ", b"frame "]
+    text = b""
+    while len(text) < 200_000:
+        text += words_src[int(rng.integers(0, 5))]
+    data = text[:200_000] + rng.integers(0, 256, 30_000, np.uint8).tobytes()
+    c = TpuCodec(level=1, batch=2, block_size=65536, max_seq=8192,
+                 use_device=True, device_entropy="hybrid")
+    f = c.compress(data)
+    assert oracle.roundtrip_ok(f, data)
+    assert len(f) < len(data) * 0.7
+
+
+def test_device_entropy_env_default(monkeypatch):
+    """QZ_DEVICE_ENTROPY selects the entropy placement when the kwarg is
+    unset; explicit kwargs still win (the config-surface contract)."""
+    from qat_zstd_plugin_tpu.runtime.tpu_codec import TpuCodec
+    from qat_zstd_plugin_tpu.utils import config
+    monkeypatch.setenv("QZ_DEVICE_ENTROPY", "hybrid")
+    config.set(None)  # re-read env
+    try:
+        assert TpuCodec(level=1, use_device=False).device_entropy == "hybrid"
+        assert TpuCodec(level=1, use_device=False,
+                        device_entropy=False).device_entropy is False
+        monkeypatch.setenv("QZ_DEVICE_ENTROPY", "full")
+        config.set(None)
+        assert TpuCodec(level=1, use_device=False).device_entropy is True
+        with pytest.raises(ValueError):
+            TpuCodec(level=1, device_entropy="bogus")
+    finally:
+        config.set(None)
