@@ -200,4 +200,4 @@ def decompress(frame_bytes: bytes, expected_size: int | None = None
     if oracle.available():
         return oracle.decompress(frame_bytes, expected_size)
     from .golden import decoder as golden_decoder
-    return golden_decoder.decompress(frame_bytes)
+    return golden_decoder.decompress(frame_bytes, max_output=expected_size)

@@ -125,6 +125,12 @@ class HufTable:
             out[i] = sym
             # Put back unused bits.
             r._bitpos += avail - nb
+        if r.bits_remaining != 0:
+            # Stock requires every Huffman stream consumed exactly
+            # (HUF's endOfDStream check); accepting leftovers let
+            # mutated frames decode that stock rejects (differential
+            # decoder fuzzer).
+            raise DecodeError("huffman stream not fully consumed")
         return out
 
 
@@ -203,6 +209,10 @@ def _decode_sequences(data: bytes, nseq: int, state: _SeqTables
             if oft is not None:
                 of_state = int(oft.next_state[of_state]) \
                     + r.read(int(oft.nb_bits[of_state]))
+    if r.bits_remaining != 0:
+        # Same exact-consumption contract as the literal streams
+        # (stock's BIT_endOfDStream check on the sequences stream).
+        raise DecodeError("sequence bitstream not fully consumed")
     return out
 
 
@@ -225,8 +235,12 @@ def _decode_literals(data: bytes, state: _SeqTables
             regen = (b0 >> 4) | (data[1] << 4) | (data[2] << 12)
             hdr = 3
         if lit_type == 0:
+            if hdr + regen > len(data):
+                raise DecodeError("truncated raw literals")
             return np.frombuffer(data[hdr:hdr + regen], np.uint8), \
                 hdr + regen
+        if hdr >= len(data):
+            raise DecodeError("truncated RLE literals")
         return np.full(regen, data[hdr], np.uint8), hdr + 1
     # Compressed / Treeless
     sf = (b0 >> 2) & 3
@@ -245,6 +259,8 @@ def _decode_literals(data: bytes, state: _SeqTables
         regen = (v >> 4) & 0x3FFFF
         comp = (v >> 22) & 0x3FFFF
         hdr = 5
+    if hdr + comp > len(data):
+        raise DecodeError("truncated compressed literals")
     payload = data[hdr:hdr + comp]
     if lit_type == 2:
         ws, used = _read_huffman_weights(payload)
@@ -261,6 +277,8 @@ def _decode_literals(data: bytes, state: _SeqTables
     s2 = int.from_bytes(payload[2:4], "little")
     s3 = int.from_bytes(payload[4:6], "little")
     p = payload[6:]
+    if s1 + s2 + s3 > len(p):
+        raise DecodeError("literal stream sizes exceed payload")
     sizes = [s1, s2, s3, len(p) - s1 - s2 - s3]
     counts = [seg, seg, seg, regen - 3 * seg]
     outs = []
@@ -273,9 +291,20 @@ def _decode_literals(data: bytes, state: _SeqTables
 
 def _execute(literals: np.ndarray, seqs: list[tuple[int, int, int]],
              window_size: int | None, out: bytearray,
-             reps: list[int]) -> None:
+             reps: list[int], limit: int | None = None) -> None:
     lpos = 0
     for ll, of_val, ml in seqs:
+        if limit is not None and len(out) + ll + ml > limit:
+            # Output budget (the decompression-bomb guard: sequence
+            # totals are unbounded by input size — a few crafted bytes
+            # can demand gigabytes). Enforced per sequence so a hostile
+            # frame never allocates past the caller's cap.
+            raise DecodeError("output exceeds caller limit")
+        if lpos + ll > len(literals):
+            # NumPy slices truncate silently; stock rejects sequences
+            # demanding more literals than the section regenerated
+            # (differential decoder fuzzer).
+            raise DecodeError("sequences demand more literals than exist")
         out += literals[lpos:lpos + ll].tobytes()
         lpos += ll
         if of_val > 3:
@@ -302,20 +331,47 @@ def _execute(literals: np.ndarray, seqs: list[tuple[int, int, int]],
             raise DecodeError("offset exceeds declared window")
         for _ in range(ml):
             out.append(out[len(out) - offset])
+    if limit is not None and len(out) + len(literals) - lpos > limit:
+        raise DecodeError("output exceeds caller limit")
     out += literals[lpos:].tobytes()
 
 
 # ------------------------------------------------------------------ frame
 
 
-def decompress(frame: bytes) -> bytes:
-    """Decode one zstd frame (skippable frames are skipped)."""
+def decompress(frame: bytes, max_output: int | None = None) -> bytes:
+    """Decode one zstd frame (skippable frames are skipped).
+
+    max_output caps the total decoded size (DecodeError past it) — the
+    decompression-bomb guard for untrusted frames: sequence totals are
+    unbounded by input size. Malformed input always raises DecodeError
+    (never a stray IndexError/ValueError) — the reject contract the
+    differential decoder fuzzer (scripts/fuzz_decoder.py) enforces
+    against stock libzstd's error behavior."""
+    try:
+        return _decompress(frame, max_output)
+    except DecodeError:
+        raise
+    except MemoryError:
+        raise
+    except Exception as exc:  # malformed input tripped a parse step
+        raise DecodeError(f"malformed frame ({type(exc).__name__})") \
+            from exc
+
+
+def _decompress(frame: bytes, max_output: int | None) -> bytes:
     pos = 0
     out_all = bytearray()
     while pos < len(frame):
         magic = int.from_bytes(frame[pos:pos + 4], "little")
         if (magic & 0xFFFFFFF0) == SKIPPABLE_LO:
             size = int.from_bytes(frame[pos + 4:pos + 8], "little")
+            if pos + 8 + size > len(frame):
+                # The skip must land inside the buffer: stock rejects a
+                # skippable frame whose size field points past the end;
+                # skipping "to" it silently dropped trailing real frames
+                # (differential decoder fuzzer, finding #2).
+                raise DecodeError("skippable frame size exceeds input")
             pos += 8 + size
             continue
         if magic != MAGIC:
@@ -344,25 +400,57 @@ def decompress(frame: bytes) -> bytes:
         if dict_flag:
             raise DecodeError("dictionaries unsupported (reference parity)")
         fcs_len = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
+        # Frame_Content_Size is a PROMISE, not a skip field: stock
+        # rejects frames whose decoded size differs from it, and the
+        # differential decoder fuzzer caught this decoder silently
+        # accepting such frames (finding #1). None = unknown (flag 0
+        # without single-segment).
+        fcs = None
+        if fcs_len:
+            if pos + fcs_len > len(frame):
+                raise DecodeError("truncated frame header")
+            fcs = int.from_bytes(frame[pos:pos + fcs_len], "little")
+            if fcs_flag == 1:
+                fcs += 256
         pos += fcs_len
 
         out = bytearray()
         reps = [1, 4, 8]
         state = _SeqTables()
         self_window = window_size  # None = single-segment (window = FCS)
+        frame_lim = (None if max_output is None
+                     else max_output - len(out_all))
         while True:
+            if frame_lim is not None and len(out) > frame_lim:
+                raise DecodeError("output exceeds caller limit")
+            # Bounds are explicit everywhere a slice could silently
+            # shorten: Python slicing truncates at the buffer end, which
+            # parsed a 1-byte tail as a whole valid block header
+            # (differential decoder fuzzer, finding #3 — stock rejects
+            # every truncated read).
+            if pos + 3 > len(frame):
+                raise DecodeError("truncated block header")
             bh = int.from_bytes(frame[pos:pos + 3], "little")
             pos += 3
             last = bh & 1
             btype = (bh >> 1) & 3
             bsize = bh >> 3
+            if frame_lim is not None and btype <= 1 \
+                    and len(out) + bsize > frame_lim:
+                raise DecodeError("output exceeds caller limit")
             if btype == 0:
+                if pos + bsize > len(frame):
+                    raise DecodeError("truncated raw block")
                 out += frame[pos:pos + bsize]
                 pos += bsize
             elif btype == 1:
+                if pos >= len(frame):
+                    raise DecodeError("truncated RLE block")
                 out += bytes([frame[pos]]) * bsize
                 pos += 1
             elif btype == 2:
+                if pos + bsize > len(frame):
+                    raise DecodeError("truncated compressed block")
                 body = frame[pos:pos + bsize]
                 pos += bsize
                 literals, used = _decode_literals(body, state)
@@ -378,15 +466,25 @@ def decompress(frame: bytes) -> bytes:
                     nseq = int.from_bytes(sdata[1:3], "little") + 0x7F00
                     shdr = 3
                 if nseq == 0:
+                    if frame_lim is not None \
+                            and len(out) + len(literals) > frame_lim:
+                        raise DecodeError("output exceeds caller limit")
                     out += literals.tobytes()
                 else:
                     seqs = _decode_sequences(sdata[shdr:], nseq, state)
-                    _execute(literals, seqs, self_window, out, reps)
+                    _execute(literals, seqs, self_window, out, reps,
+                             limit=frame_lim)
             else:
                 raise DecodeError("reserved block type")
             if last:
                 break
+        if fcs is not None and len(out) != fcs:
+            raise DecodeError(
+                f"frame content size mismatch: header promises {fcs}, "
+                f"decoded {len(out)}")
         if checksum:
+            if pos + 4 > len(frame):
+                raise DecodeError("truncated content checksum")
             want = int.from_bytes(frame[pos:pos + 4], "little")
             pos += 4
             got = xxh64(bytes(out), 0) & 0xFFFFFFFF

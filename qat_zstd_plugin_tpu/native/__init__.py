@@ -62,6 +62,13 @@ def _load():
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+    lib.qz_find_sequences_hinted.restype = ctypes.c_size_t
+    lib.qz_find_sequences_hinted.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p]
     lib.qz_block_body_external_seqsec.restype = ctypes.c_size_t
     lib.qz_block_body_external_seqsec.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
@@ -154,6 +161,40 @@ def block_body(block: np.ndarray, lit_lens: np.ndarray, offsets: np.ndarray,
     if n == 0:
         return None
     return dst[:n].tobytes()
+
+
+def find_sequences_hinted(block: np.ndarray, chain_depth: int, lazy: bool,
+                          hint_pos: np.ndarray, hint_len: np.ndarray,
+                          hint_off: np.ndarray,
+                          cap: int | None = None, ctx_len: int = 0,
+                          mml: int = 4):
+    """Chain matcher with device-candidate hints competing inside the
+    parse (see qz_find_sequences_hinted). hint_pos is block-relative
+    ascending match starts, hint_len the claim spans (a claim sources
+    every position inside its span), hint_off the device's source
+    distances. Returns (lit, off, ml, last_literals)."""
+    lib = _load()
+    assert lib is not None
+    block = np.ascontiguousarray(block, np.uint8)
+    hp = np.ascontiguousarray(hint_pos, np.uint32)
+    hl = np.ascontiguousarray(hint_len, np.uint32)
+    ho = np.ascontiguousarray(hint_off, np.uint32)
+    n = len(block) - ctx_len
+    if cap is None:
+        cap = max(16, n // 3 + 2)
+    ll = np.empty(cap, np.uint32)
+    of = np.empty(cap, np.uint32)
+    ml = np.empty(cap, np.uint32)
+    lastlit = ctypes.c_uint32(0)
+    got = lib.qz_find_sequences_hinted(
+        block.ctypes.data, ctx_len, n, chain_depth, int(lazy), mml,
+        hp.ctypes.data, hl.ctypes.data, ho.ctypes.data, len(hp),
+        ll.ctypes.data, of.ctypes.data, ml.ctypes.data, cap,
+        ctypes.byref(lastlit))
+    if got == ctypes.c_size_t(-1).value:
+        raise OverflowError("sequence capacity exceeded")
+    return (ll[:got].astype(np.int64), of[:got].astype(np.int64),
+            ml[:got].astype(np.int64), int(lastlit.value))
 
 
 def compress_blocks_mt(buf: np.ndarray, block_size: int, chain_depth: int,

@@ -40,6 +40,11 @@ class Config:
     # device FSE sequence sections + host literals (the deployable
     # PCIe-constrained point); "1" / "full" = complete device bodies.
     device_entropy: str = ""
+    # Deep levels (L5+): opt back into the r4 best-of-two (device parse
+    # finished on host AND a full host re-parse, keep the smaller body)
+    # instead of the default single hinted parse. Costs a second parse +
+    # entropy per block for an occasional sub-percent ratio win.
+    second_parse: bool = False
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -51,6 +56,7 @@ class Config:
             checksum=_env_int("QZ_CHECKSUM", 1) != 0,
             debug_level=_env_int("QZ_DEBUG_LEVEL", 0),
             device_entropy=os.environ.get("QZ_DEVICE_ENTROPY", "").lower(),
+            second_parse=_env_int("QZ_SECOND_PARSE", 0) != 0,
         )
 
 

@@ -11,4 +11,6 @@ for t in roundtrip extend stream lz4s mt; do
     echo "=== $t ($SECS s) ==="
     ./qat_zstd_plugin_tpu/native/qz_fuzz "$t" "$SECS" "$ROOT/$t"
 done
+echo "=== decoder-differential ($SECS s) ==="
+python scripts/fuzz_decoder.py "$SECS" "$ROOT/decoder"
 echo "fuzz campaign clean"

@@ -28,15 +28,24 @@ from qat_zstd_plugin_tpu.parallel import mesh as pmesh, pipeline as ppipe
 assert jax.device_count() == 4 * nproc, jax.device_count()
 rng = np.random.default_rng(0)
 words = [b"dist ", b"mesh ", b"frame ", b"gather ", b"entropy "]
-data = b"".join(words[int(k)] for k in rng.integers(0, 5, 30000))
-data += rng.integers(0, 256, 5000, np.uint8).tobytes()
+# 21 full 16 KiB blocks + a tail: >= 2 blocks per virtual device AND an
+# uneven real-block count across the two processes (proc0 rows 0-11 all
+# real, proc1 rows 12-23 hold 9 real + padding) — the ordered gather's
+# ragged path (VERDICT r4 #8; distributed.py gather_rows).
+data = b"".join(words[int(k)] for k in rng.integers(0, 5, 60000))
+data += rng.integers(0, 256, 9000, np.uint8).tobytes()
 mesh = pmesh.make_mesh()
 f = ppipe.compress_mesh(data, mesh, level=1, block_size=16384,
                         max_seq=4096)
 out = sys.argv[4] + f".{pid}"
 open(out, "wb").write(f)
 open(out + ".src", "wb").write(data)
-print("proc", pid, "frame", len(f))
+# Deep-level (content-path) mesh branch, same parity contract
+# (VERDICT r4 #4): L9 = exact-LCP content sorts + hinted host parse.
+f9 = ppipe.compress_mesh(data, mesh, level=9, block_size=16384,
+                         max_seq=4096)
+open(out + ".l9", "wb").write(f9)
+print("proc", pid, "frame", len(f), "l9", len(f9))
 """
 
 
@@ -70,3 +79,13 @@ def test_two_process_distributed_frame(tmp_path):
     single = TpuCodec(level=1, block_size=16384, max_seq=4096,
                       batch=4).compress(data)
     assert len(f0) <= 1.005 * len(single), (len(f0), len(single))
+    # Deep-level branch: identical across processes, bit-exact, and at
+    # single-chip parity (VERDICT r4 #4 — the content-path mesh branch
+    # previously had no parity assertion).
+    f9_0 = open(out + ".0.l9", "rb").read()
+    f9_1 = open(out + ".1.l9", "rb").read()
+    assert f9_0 == f9_1, "processes produced different L9 frames"
+    assert oracle.decompress(f9_0, len(data)) == data
+    single9 = TpuCodec(level=9, block_size=16384, max_seq=4096,
+                       batch=4).compress(data)
+    assert len(f9_0) <= 1.005 * len(single9), (len(f9_0), len(single9))
