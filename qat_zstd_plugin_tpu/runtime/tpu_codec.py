@@ -470,15 +470,21 @@ class TpuCodec:
             seqs = None
         deep_hinted = False
         if (seqs is not None and use_native and seqs.nseq
-                and self.level >= 5 and not config.get().second_parse):
-            # Deep levels: ONE hinted parse (VERDICT r4 #3, replacing the
-            # best-of-two crutch). The device's claims enter the host
-            # chain parse as scored candidates at their match starts —
-            # the parse dominates a host-only parse by construction
-            # (strictly more candidates) and the accelerator's long-
-            # window LDM finds survive, at HALF the old host cost
-            # (extend+fill+entropy+re-parse+entropy -> parse+entropy).
-            # QZ_SECOND_PARSE=1 opts back into the double parse.
+                and self.level >= 5 and not config.get().second_parse
+                and (seqs.lit_lengths.sum() + seqs.last_literals)
+                < 0.05 * len(blk)):
+            # Deep levels: ONE parse per block, selected by the claims'
+            # literal share (VERDICT r4 #3, replacing the best-of-two
+            # crutch at half its host cost). Measured per block on the
+            # probe corpora: on dense text-like parses (literal share
+            # ~0.01) the lazy chain parse with the device's claims as
+            # scored hints wins every block at L9 (~8%); on mixed/
+            # structured content (literal share >= 0.10) the device-
+            # finish walk below wins — its scored rep competition prices
+            # structured offsets better than longest-wins chains. The
+            # hinted parse keeps the accelerator's long-window LDM finds
+            # as candidates at every in-claim position.
+            # QZ_SECOND_PARSE=1 opts back into the r4 double parse.
             hpos = (np.cumsum(seqs.lit_lengths + seqs.match_lengths)
                     - seqs.match_lengths)
             ll, of, ml, lastlit = native.find_sequences_hinted(
@@ -539,7 +545,8 @@ class TpuCodec:
                 blk, seqs.lit_lengths, seqs.offsets, seqs.match_lengths,
                 seqs.last_literals, custom, self.params.huffman,
                 first_block=first)
-            if self.level >= 5 and not from_fallback and not deep_hinted:
+            if (self.level >= 5 and not from_fallback and not deep_hinted
+                    and config.get().second_parse):
                 # Opt-in (QZ_SECOND_PARSE=1) best-of-two: the r4 posture
                 # — device content parse finished on host AND a host
                 # chain re-parse (depth 8-256, lazy), keep the smaller
