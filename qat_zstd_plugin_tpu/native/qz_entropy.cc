@@ -1168,16 +1168,22 @@ bool encode_sequences_section(const uint32_t* lit_lens,
   ofc.resize(n);
   mlc.resize(n);
   // Fused code derivation + histograms: one pass feeds all three
-  // plan_table calls (codes are bounded — ll<=2^31 -> code 50,
-  // ml -> 67, of_val -> highbit 31 — so fixed 72-wide counters hold
-  // any input; out-of-alphabet codes still fail plan_table exactly as
-  // before via the max_code < dist_n check).
+  // plan_table calls. Valid codes are LL 0-35, OF 0-31, ML 0-52
+  // (out-of-alphabet inputs are rejected below before any indexing);
+  // 72-wide counters keep the arrays one cache-line-rounded size.
   int64_t hll[72] = {0}, hof[72] = {0}, hml[72] = {0};
   int max_ll = 0, max_of = 0, max_ml = 0;
   for (size_t i = 0; i < n; ++i) {
+    // Alphabet guard: the RFC code ranges are LL 0-35, ML 0-52. A
+    // match_len < 3 (underflowing ml_code) or a length past the block
+    // cap can only arrive through the raw ABI with invalid sequences;
+    // refusing here (caller emits a raw block) is cheaper than letting
+    // LL_BASE/ML_BASE index out of bounds in the encode loop below.
+    if (match_lens[i] < 3) return false;
     int lc = ll_code(lit_lens[i]);
     int mc = ml_code(match_lens[i]);
     int oc = highbit(ofvs[i]);
+    if (lc > 35 || mc > 52) return false;
     llc[i] = lc;
     mlc[i] = mc;
     ofc[i] = oc;

@@ -296,3 +296,19 @@ def test_fill_gaps_overrun_trims_claim():
     assert ll.sum() + ml.sum() + last == len(block)
     matcher.validate_sequences(block, BlockSequences(ll, of, ml, last),
                                ctx_len=0)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_block_body_rejects_out_of_alphabet_sequences():
+    """Invalid sequences through the raw ABI (match_len < 3 underflows
+    the ML code; huge lengths index past the code tables) must yield a
+    clean refusal (raw block), not out-of-bounds table reads."""
+    blk = np.frombuffer(b"abcdefgh" * 4096, np.uint8)
+    n = len(blk)
+    assert native.block_body(blk, np.array([4]), np.array([2]),
+                             np.array([2]), n - 6, True, True) is None
+    assert native.block_body(blk, np.array([4]), np.array([2]),
+                             np.array([1]), n - 5, True, True) is None
+    ok = native.block_body(blk, np.array([4]), np.array([8]),
+                           np.array([28]), n - 32, True, True)
+    assert ok is not None and len(ok) < n
