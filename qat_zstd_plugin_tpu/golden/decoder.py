@@ -466,6 +466,14 @@ def _decompress(frame: bytes, max_output: int | None) -> bytes:
                     nseq = int.from_bytes(sdata[1:3], "little") + 0x7F00
                     shdr = 3
                 if nseq == 0:
+                    if len(sdata) != shdr:
+                        # Stock consumes the block body exactly; with
+                        # zero sequences there is no bitstream, so any
+                        # tail bytes are garbage it rejects (the nseq>0
+                        # path gets this from the exact-consumption
+                        # check on the sequences bitstream).
+                        raise DecodeError(
+                            "trailing bytes after zero-sequence header")
                     if frame_lim is not None \
                             and len(out) + len(literals) > frame_lim:
                         raise DecodeError("output exceeds caller limit")

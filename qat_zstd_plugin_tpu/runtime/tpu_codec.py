@@ -193,10 +193,16 @@ class TpuCodec:
         # static-config trade the QAT session makes once per session
         # (src/qatseqprod.c:935-946). Env default: QZ_DEVICE_ENTROPY.
         if device_entropy is None:
-            device_entropy = {"": False, "0": False, "off": False,
-                              "1": True, "full": True,
-                              "hybrid": "hybrid"}.get(
-                                  cfg.device_entropy, False)
+            env_map = {"": False, "0": False, "off": False,
+                       "1": True, "full": True, "hybrid": "hybrid"}
+            if cfg.device_entropy not in env_map:
+                # A typo'd env value silently measuring the wrong mode
+                # is worse than failing fast (same validation as the
+                # kwarg surface below).
+                raise ValueError(
+                    f"QZ_DEVICE_ENTROPY={cfg.device_entropy!r}: expected "
+                    f"one of {sorted(env_map)}")
+            device_entropy = env_map[cfg.device_entropy]
         if device_entropy == "full":
             device_entropy = True
         if device_entropy not in (False, True, "hybrid"):

@@ -23,8 +23,12 @@ def run(argv=None) -> int:
     ap.add_argument("-l", "--level", type=int, default=1)
     ap.add_argument("--cpu", action="store_true",
                     help="force the software path (no device)")
-    ap.add_argument("--device-entropy", action="store_true",
-                    help="on-TPU sequence-section entropy (hybrid mode)")
+    ap.add_argument("--device-entropy", default=None,
+                    choices=["off", "hybrid", "full"],
+                    help="entropy placement: off = host entropy, "
+                         "hybrid = device FSE sequence sections + host "
+                         "literals, full = complete device bodies "
+                         "(default: QZ_DEVICE_ENTROPY env, else off)")
     args = ap.parse_args(argv)
 
     import os
@@ -47,8 +51,10 @@ def run(argv=None) -> int:
     if use_device is None:
         use_device = qz.start_device() == qz.Status.OK
     from qat_zstd_plugin_tpu.runtime.tpu_codec import TpuCodec
+    de = {None: None, "off": False, "hybrid": "hybrid",
+          "full": True}[args.device_entropy]
     codec = TpuCodec(level=args.level, use_device=use_device,
-                     device_entropy=args.device_entropy)
+                     device_entropy=de)
     t0 = time.perf_counter()
     frame = codec.compress(data)
     dt = time.perf_counter() - t0

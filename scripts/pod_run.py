@@ -72,10 +72,13 @@ def main() -> None:
 
     def corpus(nbytes: int) -> bytes:
         parts = []
-        while sum(map(len, parts)) < nbytes:
-            parts.append(b"".join(
-                words[int(k)] for k in rng.integers(0, len(words), 4000)))
-            parts.append(rng.integers(0, 48, 8000, np.uint8).tobytes())
+        total = 0  # running sum: re-summing the list per iteration is
+        while total < nbytes:  # quadratic at the pod-scale --mb sizes
+            for p in (b"".join(words[int(k)] for k in
+                               rng.integers(0, len(words), 4000)),
+                      rng.integers(0, 48, 8000, np.uint8).tobytes()):
+                parts.append(p)
+                total += len(p)
         return b"".join(parts)[:nbytes]
 
     # --- sharded-step weak scaling: fixed 4 x 128 KiB blocks/device.

@@ -94,3 +94,42 @@ def test_fuzz_decoder_campaign_smoke(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "OK decoder-differential" in r.stdout
+
+
+def test_zero_sequence_block_trailing_garbage_rejected():
+    """Review finding (r5): a compressed block whose body is
+    [literals][nseq=0][junk] decoded on the golden path while stock
+    rejects — the nseq==0 branch skipped the exact-consumption check."""
+    from qat_zstd_plugin_tpu.format import frame as fmt_frame
+    # Hand-assemble the frame: emit_block would (correctly) swap a
+    # literals-only compressed body for a raw block, so splice the
+    # compressed block in directly.
+    lit = b"hello, zero seqs"  # < 32 bytes: 1-byte literal header form
+    body = bytes([0 | (len(lit) << 3)]) + lit + b"\x00"  # raw lits + nseq=0
+    junk_body = body + b"\xde\xad\xbe\xef"
+
+    def build(b: bytes) -> bytes:
+        hdr = fmt_frame.frame_header(len(lit), 10, False)
+        return hdr + fmt_frame.block_header(True, fmt_frame.BLOCK_COMPRESSED,
+                                            len(b)) + b
+
+    good, bad = build(body), build(junk_body)
+    assert decoder.decompress(good) == lit
+    with pytest.raises(decoder.DecodeError):
+        decoder.decompress(bad)
+    if oracle.available():
+        with pytest.raises(Exception):
+            oracle.decompress(bad, len(lit))
+
+
+def test_device_entropy_env_typo_fails_fast(monkeypatch):
+    """Review finding (r5): a typo'd QZ_DEVICE_ENTROPY must raise, not
+    silently measure the host-entropy path."""
+    from qat_zstd_plugin_tpu.utils import config
+    monkeypatch.setenv("QZ_DEVICE_ENTROPY", "hybird")
+    config.set(None)
+    try:
+        with pytest.raises(ValueError, match="QZ_DEVICE_ENTROPY"):
+            TpuCodec(level=1, use_device=False)
+    finally:
+        config.set(None)
