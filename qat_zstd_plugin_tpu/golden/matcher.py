@@ -62,12 +62,16 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
         prev[pos] = head[h]
         head[h] = pos
 
-    def best_match(pos: int) -> tuple[int, int]:
-        """(length, offset) of the best match at pos, (0, 0) if none."""
+    def best_match(pos: int) -> tuple[int, int, int]:
+        """(length, offset, score) of the best match at pos; score is
+        offset-priced (native parity, r5): a candidate pays ~1 byte per
+        8 offset bits plus a flat explicit-offset penalty, and the cost
+        floor applies per candidate so a far long candidate cannot
+        shadow a near one that passes the floor."""
         limit = n - pos
         if limit < MIN_MATCH:
-            return 0, 0
-        best_len, best_off = 0, 0
+            return 0, 0, -(1 << 31)
+        best_len, best_off, best_score = 0, 0, -(1 << 31)
         cand = head[hashes[pos]]
         depth = chain_depth
         lo = pos - max_offset
@@ -75,21 +79,19 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
             l = 0
             while l < limit and buf[cand + l] == buf[pos + l]:
                 l += 1
-            if l > best_len:
-                best_len, best_off = l, pos - cand
+            o = int(pos - cand)
+            ok = l >= mml or (l >= 4 and o <= 1024) or (l == 3 and o <= 64)
+            if l < 6 and o > 65536:
+                ok = False
+            if ok:
+                sc = l * 8 - o.bit_length() + 1 - 8
+                if sc > best_score:
+                    best_len, best_off, best_score = l, o, sc
             cand = prev[cand]
             depth -= 1
-        if best_len < MIN_MATCH:
-            return 0, 0
-        # Cost floor, mirroring the native matcher: short matches only
-        # pay for themselves near (a sequence costs ~10 bits +
-        # log2(offset) extra bits).
-        if best_len < mml and not (best_len >= 4 and best_off <= 1024) \
-                and not (best_len == 3 and best_off <= 64):
-            return 0, 0
-        if best_len < 6 and best_off > 65536:
-            return 0, 0
-        return best_len, best_off
+        if not best_len:
+            return 0, 0, -(1 << 31)
+        return best_len, best_off, best_score
 
     def rep_probe(pos: int, rep: int) -> int:
         """LCP at the previous sequence's offset (cheap rep continuation;
@@ -109,11 +111,13 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
     pos = 1
     rep = 0
     while pos < n:
-        length, off = best_match(pos)
+        length, off, score = best_match(pos)
         lr = rep_probe(pos, rep)
         took_rep = False
-        if lr >= 3 and lr + 2 >= length:
-            length, off = lr, rep
+        # Rep continuation pays no offset bits: it competes at its full
+        # length against the priced candidate score (native parity).
+        if lr >= 3 and lr * 8 >= score:
+            length, off, score = lr, rep, lr * 8
             took_rep = True
         if length == 0:
             if pos >= inserted_up_to:
@@ -125,8 +129,8 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
             if pos >= inserted_up_to:
                 insert(pos)
                 inserted_up_to = pos + 1
-            nlen, noff = best_match(pos + 1)
-            if nlen > length + 1:
+            nlen, noff, nscore = best_match(pos + 1)
+            if nlen and nscore > score + 8:
                 # Take the literal; the better match starts one later.
                 if pos + 1 >= inserted_up_to:
                     insert(pos + 1)

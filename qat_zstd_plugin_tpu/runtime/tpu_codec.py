@@ -475,22 +475,30 @@ class TpuCodec:
             # on CPU instead.
             seqs = None
         deep_hinted = False
-        if (seqs is not None and use_native and seqs.nseq
-                and self.level >= 5 and not config.get().second_parse
-                and (seqs.lit_lengths.sum() + seqs.last_literals)
-                < 0.05 * len(blk)):
+        if seqs is not None and use_native and seqs.nseq \
+                and self.level >= 5 and not config.get().second_parse:
             # Deep levels: ONE parse per block, selected by the claims'
             # literal share (VERDICT r4 #3, replacing the best-of-two
-            # crutch at half its host cost). Measured per block on the
-            # probe corpora: on dense text-like parses (literal share
-            # ~0.01) the lazy chain parse with the device's claims as
-            # scored hints wins every block at L9 (~8%); on mixed/
-            # structured content (literal share >= 0.10) the device-
-            # finish walk below wins — its scored rep competition prices
-            # structured offsets better than longest-wins chains. The
-            # hinted parse keeps the accelerator's long-window LDM finds
-            # as candidates at every in-claim position.
+            # crutch at half its host cost). Per-block measurement
+            # (scripts/deep_select_diag.py, all four probe corpora at
+            # L5/L7/L9/L12 after the r5 offset-priced chain scoring):
+            # dense text-like parses (literal share ~0.01-0.03) always
+            # want the lazy chain parse with the device claims as
+            # scored hints; at L7+ the priced chains win up to share
+            # ~0.13 (semi-structured blocks); mixed/structured content
+            # above that wants the device-finish walk below, whose rep
+            # competition prices structured offsets best of all. The
+            # first two blocks of a window are the exception at ANY
+            # share below 0.40: their device claims are context-starved
+            # (little or no cross-block window behind them), so a fresh
+            # chain parse dominates by 2-5% regardless of composition.
             # QZ_SECOND_PARSE=1 opts back into the r4 double parse.
+            share = float(seqs.lit_lengths.sum()
+                          + seqs.last_literals) / len(blk)
+            bar = 0.13 if self.level >= 7 else 0.05
+            deep_hinted = (share < bar
+                           or (ctx_find < 2 * bs and share < 0.40))
+        if deep_hinted:
             hpos = (np.cumsum(seqs.lit_lengths + seqs.match_lengths)
                     - seqs.match_lengths)
             ll, of, ml, lastlit = native.find_sequences_hinted(
@@ -498,7 +506,6 @@ class TpuCodec:
                 hpos, seqs.match_lengths, seqs.offsets,
                 ctx_len=ctx_find, mml=gp.mml)
             seqs = BlockSequences(ll, of, ml, lastlit)
-            deep_hinted = True
         elif seqs is not None and use_native and seqs.nseq:
             # Re-extend the device's capped matches to true lengths.
             ll, of, ml, lastlit = native.extend_sequences(
