@@ -84,8 +84,15 @@ def main() -> None:
                              use_device=(mode == "device"))
                 f = c.compress(data)
                 ok = oracle.roundtrip_ok(f, data)
+                # Flag silent CPU fallback: a transient device error
+                # makes the codec absorb blocks on the CPU chain parse
+                # (correct output, different ratio), which poisons the
+                # device-row reading without any visible signal.
+                fb = (f" FB={c.stats.fallback_blocks}"
+                      if mode == "device" and c.stats.fallback_blocks
+                      else "")
                 row.append(f"{mode}={len(f)} ({len(f) / stock:.4f}x"
-                           f"{'' if ok else ' BAD'})")
+                           f"{'' if ok else ' BAD'}{fb})")
             print("  ".join(row), flush=True)
 
 
