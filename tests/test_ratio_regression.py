@@ -7,39 +7,43 @@ selection bugs) fail loudly.
 Multi-corpus (VERDICT r3 #3): every per-level claim is gated on four
 compositions — the bench mix, text-heavy, structured binary, and
 high-redundancy (utils/corpora.py) — and every published claim quotes
-the WORST corpus. Measured reference points (round 4, 2 MB corpora,
-after the unified finishing walk with claim competition):
+the WORST corpus. Measured reference points (late round 5, 2 MB
+corpora, after the unified finishing walk with claim competition and
+the r5 priced chains + short-match insert density):
 
-  device vs stock   mixed    text    binary  redundant
-    L1              0.973    0.964   0.942   0.723
+  device vs stock   mixed0   text    binary  redundant
+    L1              0.973    0.964   0.941   0.723
     L2              0.962    0.901   0.941   0.674
     L3              0.958    0.981   0.959   0.873
-    L4              0.940    0.917   0.947   0.894
+    L4              0.940    0.917   0.947   0.894     (r4 capture)
   software vs stock
-    L1              0.986    1.008   0.959   0.649
-    L2              0.937    0.838   0.961   0.689
-    L3              0.968    1.010   0.964   0.869
+    L1              0.979    1.003   0.963   0.649
+    L2              0.932    0.825   0.965   0.689
+    L3              0.968    1.009   0.965   0.869
 
 Deep levels (L5+) run ONE parse per block, selected by the device
 claims' literal share (r5, replacing the r4 best-of-two double parse at
 half its host cost; QZ_SECOND_PARSE=1 opts the double parse back in):
-literal share < 0.05 (dense text-like parses) takes the lazy chain
-parse with the device claims as scored hints, else the device-finish
-walk. Measured r5 (2 MB mixed / 1 MB others, vs stock):
+share < 0.05 (L5-6) / < 0.13 (L7+) takes the lazy chain parse with the
+device claims as scored hints, as do the first two context-starved
+blocks of a window below share 0.40; everything else takes the
+device-finish walk. With the late-r5 offset-priced chain scoring
+(candidates pay ~highbit(offset)/8 bytes, reps pay nothing — the same
+pricing the walk and fast matcher already used), measured on 2 MB
+probes vs stock:
 
-  rule vs stock    mixed    text    binary  redundant
-    L5             0.948    0.975   0.982   0.992
-    L7             0.958    0.907   0.982   0.994
-    L9             0.949    0.886   0.978   0.994
-    L12            0.963    0.953   0.995   0.994
+  rule vs stock    mixed0   mixed3  text    binary  redundant
+    L5             0.941    0.946   0.968   0.961   0.996
+    L7             0.945    0.952   0.916   0.963   0.998
+    L9             0.936    0.943   0.887   0.961   0.998
+    L12            0.950    0.955   0.933   0.978   0.998
 
-— every device level L1-L12 still beats stock on every probe corpus;
-text L7/L9/L12 are within 0.3% of the r4 best-of-two, mixed within
-~1.5% (the forfeited cells are blocks where the non-selected parse won
-by 1-5%). Known residual: software L1/L3 sit within ~1.1% of stock
-on multi-MB text-heavy data (the single-probe/chain matchers without
-the walk's gap probing — the L1 speed point's trade; at 1 MB software
-L1 beats stock on every probe corpus).
+— every device level L1-L12 beats stock on every probe corpus; the
+selector's per-block forfeit vs an oracle picking the better parse is
+< 0.4% per composition (scripts/deep_select_diag.py). Known residual:
+software text L1/L3 sit 0.3-0.9% over stock at 2 MB (1.0030/1.0085;
+~2% at 8 MB — the single-probe speed point without the walk's gap
+probing; the device path beats stock on the same data at every level).
 """
 
 import numpy as np
@@ -188,7 +192,7 @@ def test_device_vs_stock_deep_levels_multi_corpus():
     """Deep levels under the r5 single-parse selection rule must beat
     stock on every composition (bounds from the module-docstring matrix,
     ~1-2% headroom)."""
-    bounds = {"text": 0.91, "binary": 0.995, "redundant": 1.0}
+    bounds = {"text": 0.91, "binary": 0.985, "redundant": 1.0}
     for name, bound in bounds.items():
         data = corpora.CORPORA[name](1 << 20)
         ours = _ratio(TpuCodec(level=9, batch=4, use_device=True), data)
