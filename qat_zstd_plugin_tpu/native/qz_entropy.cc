@@ -2004,17 +2004,16 @@ struct StreamMatcher {
                        static_cast<uint32_t>(len)});
       rep = off;
       size_t end = scan + len;
-      // In-match inserts. Short matches (<= 24) insert every covered
-      // position: their interiors are the anchors future near matches
-      // re-reference, and the 8 MB probe measured stride-2 costing
-      // 0.7-1.9% size (text/mixed, L1-L2) while full density on long
-      // matches bought nothing but insert stores (r5 A/B: hybrid
-      // captures ~99% of stride-1's size at about half its speed
-      // cost). Long matches keep the sampled stride (diag knob).
+      // In-match inserts, stride QZ_FAST_INS_STRIDE (diag knob).
+      // Full-density inserts for short matches were tried (r5): text
+      // -1.15% / mixed -0.7% at 8 MB, but the denser interiors evict
+      // the 2-way buckets' long-range anchors and the high-redundancy
+      // corpus regressed 2.4x at 1 MB (155 KB -> 370 KB) — the
+      // per-corpus gate caught it. Sampled stride stays.
       {
         size_t q = scan + 2;
         size_t qe = std::min(end >= 2 ? end - 2 : 0, safe_end);
-        size_t qstep = len <= 24 ? 1 : QZ_FAST_INS_STRIDE;
+        size_t qstep = QZ_FAST_INS_STRIDE;
         while (q <= qe && q <= safe_end) {
           insert_fast(q);
           q += qstep;

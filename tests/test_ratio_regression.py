@@ -17,8 +17,8 @@ the r5 priced chains + short-match insert density):
     L3              0.958    0.981   0.959   0.873
     L4              0.940    0.917   0.947   0.894     (r4 capture)
   software vs stock
-    L1              0.979    1.003   0.963   0.649
-    L2              0.932    0.825   0.965   0.689
+    L1              0.986    1.008   0.964   0.649
+    L2              0.937    0.838   0.967   0.689
     L3              0.968    1.009   0.965   0.869
 
 Deep levels (L5+) run ONE parse per block, selected by the device
@@ -41,9 +41,14 @@ probes vs stock:
 — every device level L1-L12 beats stock on every probe corpus; the
 selector's per-block forfeit vs an oracle picking the better parse is
 < 0.4% per composition (scripts/deep_select_diag.py). Known residual:
-software text L1/L3 sit 0.3-0.9% over stock at 2 MB (1.0030/1.0085;
-~2% at 8 MB — the single-probe speed point without the walk's gap
-probing; the device path beats stock on the same data at every level).
+software text L1/L3 sit ~0.8% over stock at 2 MB (1.0079/1.0085, ~2%
+at 8 MB). Diagnosed r5: coverage is FINE (fewer literal bytes left
+than stock); the gap is parse fragmentation — 952k sequences vs
+stock's 832k on 8 MB text, skewed to 6-8-byte matches where stock
+finds 9-16 — and neither table size, acceleration, rep floor, window,
+nor insert density moves it (the insert-density attempt regressed the
+high-redundancy corpus 2.4x at 1 MB and was reverted). The device
+path beats stock on the same data at every level.
 """
 
 import numpy as np

@@ -110,3 +110,72 @@ def test_tpu_codec_tail_block_fallback():
     c = TpuCodec(level=3, batch=2, block_size=16384, max_seq=4096)
     f = c.compress(data)
     assert oracle.roundtrip_ok(f, data)
+
+
+def test_deep_selector_routing(monkeypatch):
+    """The r5 deep-level parse selector routes by literal share and
+    window position (runtime/tpu_codec.py finish_block_host): share
+    below the level bar (0.05 at L5-6 / 0.13 at L7+) or a context-
+    starved first/second block below share 0.40 -> hinted chain parse;
+    everything else -> extend + fill_gaps walk."""
+    from qat_zstd_plugin_tpu import native
+    if not native.available():
+        pytest.skip("native runtime required")
+    calls = []
+    real_hinted = native.find_sequences_hinted
+    real_extend = native.extend_sequences
+
+    def spy_hinted(*a, **k):
+        calls.append("hint")
+        return real_hinted(*a, **k)
+
+    def spy_extend(*a, **k):
+        calls.append("walk")
+        return real_extend(*a, **k)
+
+    monkeypatch.setattr(native, "find_sequences_hinted", spy_hinted)
+    monkeypatch.setattr(native, "extend_sequences", spy_extend)
+
+    bs = tpu_codec.TpuCodec(level=9, batch=4, use_device=False).block_size
+    rng = np.random.default_rng(5)
+    # Structured block: long stride-8 records -> matchy claims with a
+    # moderate literal share once extended.
+    rec = rng.integers(0, 256, 8, np.uint8)
+    structured = np.tile(rec, bs // 8)
+
+    def claims(lit_run, match_len, off, nblk):
+        nseq = nblk // (lit_run + match_len)
+        ll = np.full(nseq, lit_run, np.int64)
+        ml = np.full(nseq, match_len, np.int64)
+        of = np.full(nseq, off, np.int64)
+        last = nblk - int(ll.sum() + ml.sum())
+        return BlockSequences(ll, of, ml, last)
+
+    codec = TpuCodec(level=9, batch=4, use_device=False)
+    buf = np.tile(structured, 40)[: bs * 33]
+
+    # Block 32 (full window behind it), share ~0.006 < 0.13 -> hinted.
+    calls.clear()
+    codec.finish_block_host(buf, 32, claims(1, 159, 8, bs))
+    assert calls and calls[0] == "hint", calls
+
+    # Block 32, share ~0.5 -> walk.
+    calls.clear()
+    codec.finish_block_host(buf, 32, claims(80, 80, 8, bs))
+    assert calls and calls[0] == "walk", calls
+
+    # Block 0 (context-starved), share ~0.31 < 0.40 -> hinted.
+    calls.clear()
+    codec.finish_block_host(buf, 0, claims(50, 110, 8, bs))
+    assert calls and calls[0] == "hint", calls
+
+    # Block 0, share ~0.5 (>= 0.40) -> walk even when context-starved.
+    calls.clear()
+    codec.finish_block_host(buf, 0, claims(80, 80, 8, bs))
+    assert calls and calls[0] == "walk", calls
+
+    # L5: bar is 0.05, so a 0.31-share mid-frame block walks.
+    codec5 = TpuCodec(level=5, batch=4, use_device=False)
+    calls.clear()
+    codec5.finish_block_host(buf, 32, claims(50, 110, 8, bs))
+    assert calls and calls[0] == "walk", calls
