@@ -1830,6 +1830,9 @@ struct StreamMatcher {
 #ifndef QZ_FAST_REP_BONUS
 #define QZ_FAST_REP_BONUS 8
 #endif
+#ifndef QZ_FAST_LAZY
+#define QZ_FAST_LAZY 64
+#endif
   // ---- Single-probe fast matcher (the fast-level strategy) ----
   //
   // Stock zstd maps its fastest levels to exactly this shape (one hash
@@ -1994,6 +1997,43 @@ struct StreamMatcher {
         h = hn;
       }
       if (!len) break;  // no more matches in the block
+      // Mini-lazy (r5, default on): a non-rep find below the bar
+      // checks the next position's candidates once; a match there
+      // that is 2+ bytes longer pays for the extra literal and
+      // de-fragments the parse. This was the text residual's root
+      // cause (6-8-byte matches where stock finds 9-16): measured at
+      // 8 MB, text L1 1.0203x -> 0.926x stock, mixed -2.8%, binary
+      // -1.1%, redundant unchanged, speed flat (fewer sequences to
+      // entropy-encode pays for the probe: one table load + <= 2
+      // verifies, only on short finds). QZ_FAST_LAZY=0 disables.
+      if (QZ_FAST_LAZY && len < QZ_FAST_LAZY && off != rep &&
+          scan + 1 <= safe_end) {
+        uint32_t h1 = fhash_at(scan + 1);
+        uint64_t pr1 = fpair[h1];
+        int32_t c10 = static_cast<int32_t>(pr1);
+        int32_t c11 = static_cast<int32_t>(pr1 >> 32);
+        fpair[h1] = (pr1 << 32) | static_cast<uint32_t>(scan + 1);
+        size_t l1 = 0;
+        uint32_t o1 = 0;
+        for (int32_t cand : {c10, c11}) {
+          if (cand < 0) continue;
+          size_t cp = static_cast<size_t>(cand);
+          if (cp < scan + 1 && scan + 1 - cp <= window &&
+              rd32(base + cp) == rd32(base + scan + 1)) {
+            size_t l = match_len_at(scan + 1,
+                                    static_cast<uint32_t>(scan + 1 - cp));
+            if (l > l1) {
+              l1 = l;
+              o1 = static_cast<uint32_t>(scan + 1 - cp);
+            }
+          }
+        }
+        if (l1 >= len + 2 && l1 >= 6) {
+          ++scan;
+          len = l1;
+          off = o1;
+        }
+      }
       // Backward extension into the pending literal run.
       while (scan > lit_start && scan >= static_cast<size_t>(off) + 1 &&
              base[scan - 1] == base[scan - 1 - off]) {
