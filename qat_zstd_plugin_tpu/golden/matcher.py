@@ -125,7 +125,10 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
                 inserted_up_to = pos + 1
             pos += 1
             continue
-        if lazy and pos + 1 < n and not took_rep:
+        # Conditional one-step lazy on short finds at greedy levels
+        # (native parity, r5: QZ_CHAIN_LAZY_BAR — de-fragments the
+        # parse the same way the fast matcher's mini-lazy does).
+        if (lazy or length < 32) and pos + 1 < n and not took_rep:
             if pos >= inserted_up_to:
                 insert(pos)
                 inserted_up_to = pos + 1

@@ -116,6 +116,12 @@ struct ForwardBitWriter {
 };
 
 static inline int highbit(uint32_t v) { return 31 - __builtin_clz(v); }
+// Greedy chain levels (no lazy until L5) get the same conditional
+// one-step lazy on short finds (see the fast matcher's mini-lazy).
+#ifndef QZ_CHAIN_LAZY_BAR
+#define QZ_CHAIN_LAZY_BAR 32
+#endif
+
 
 // ---------------------------------------------------------------- xxhash64
 
@@ -1579,7 +1585,8 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
       ++pos;
       continue;
     }
-    if (lazy && pos + 1 <= safe_end && off != rep) {
+    if ((lazy || len < QZ_CHAIN_LAZY_BAR) && pos + 1 <= safe_end &&
+        off != rep) {
       if (pos >= inserted_up_to) {
         insert(pos);
         inserted_up_to = pos + 1;
@@ -1772,7 +1779,8 @@ struct StreamMatcher {
         ++pos;
         continue;
       }
-      if (lazy && pos + 1 <= safe_end && off != rep) {
+      if ((lazy || len < QZ_CHAIN_LAZY_BAR) && pos + 1 <= safe_end &&
+          off != rep) {
         if (pos >= inserted_up_to) {
           insert(pos);
           inserted_up_to = pos + 1;

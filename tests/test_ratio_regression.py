@@ -19,7 +19,7 @@ the r5 priced chains + fast-matcher mini-lazy):
   software vs stock
     L1              0.958    0.903   0.952   0.649
     L2              0.930    0.811   0.953   0.688
-    L3              0.968    1.009   0.965   0.869
+    L3              0.962    0.955   0.963   0.869
 
 Deep levels (L5+) run ONE parse per block, selected by the device
 claims' literal share (r5, replacing the r4 best-of-two double parse at
@@ -50,9 +50,11 @@ measured as non-causes (insert density regressed high-redundancy 2.4x
 at 1 MB and was reverted). The fix was a mini-lazy probe in the fast
 matcher (a short non-rep find checks the next position once,
 QZ_FAST_LAZY=64): text L1 1.0079 -> 0.9033, mixed -2.8%, binary
--1.3%, redundant unchanged, speed flat. Remaining residual: software
-text L3 ~0.9% over stock (greedy chain level; no lazy until L5). The
-device path beats stock on the same data at every level.
+-1.3%, redundant unchanged, speed flat. The greedy chain levels
+(L3-L4) got the same conditional one-step lazy on finds < 32 bytes
+(QZ_CHAIN_LAZY_BAR, golden matcher mirrored): text L3 1.0085 ->
+0.9550, text8 L3/L4 -4.4%, redundant unchanged. Every software cell
+now beats stock on every probe corpus; the device path does too.
 """
 
 import numpy as np
