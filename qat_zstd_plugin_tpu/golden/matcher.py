@@ -25,6 +25,12 @@ from ..format.frame import BlockSequences
 
 HASH_LOG = 15
 MIN_MATCH = 3
+# Conditional-lazy bar for greedy levels — MUST match the native
+# QZ_CHAIN_LAZY_BAR default (qz_entropy.cc); the native/golden
+# byte-identical differential (test_native.py) enforces the pairing,
+# so a native rebuild with a -D override will fail that test loudly
+# rather than silently diverge.
+CHAIN_LAZY_BAR = 32
 
 
 def _hash4(v: int) -> int:
@@ -128,7 +134,8 @@ def find_sequences(block: np.ndarray, chain_depth: int = 8,
         # Conditional one-step lazy on short finds at greedy levels
         # (native parity, r5: QZ_CHAIN_LAZY_BAR — de-fragments the
         # parse the same way the fast matcher's mini-lazy does).
-        if (lazy or length < 32) and pos + 1 < n and not took_rep:
+        if (lazy or length < CHAIN_LAZY_BAR) and pos + 1 < n \
+                and not took_rep:
             if pos >= inserted_up_to:
                 insert(pos)
                 inserted_up_to = pos + 1

@@ -1559,11 +1559,13 @@ void find_sequences(const uint8_t* base, size_t ctx_len, size_t n,
         bool hok = (lh >= static_cast<size_t>(mml) ||
                     (lh >= 4 && ho <= 1024) || (lh == 3 && ho <= 64)) &&
                    !(lh < 6 && ho > 65536);
-        int hsc = static_cast<int>(lh) * 8 - highbit(ho) - 8;
-        if (hok && hsc > score) {
-          len = lh;
-          off = ho;
-          score = hsc;
+        if (hok) {  // hok implies lh >= 3, hence ho != 0 (highbit safe)
+          int hsc = static_cast<int>(lh) * 8 - highbit(ho) - 8;
+          if (hsc > score) {
+            len = lh;
+            off = ho;
+            score = hsc;
+          }
         }
       }
     }
@@ -2021,9 +2023,18 @@ struct StreamMatcher {
         int32_t c10 = static_cast<int32_t>(pr1);
         int32_t c11 = static_cast<int32_t>(pr1 >> 32);
         fpair[h1] = (pr1 << 32) | static_cast<uint32_t>(scan + 1);
+        // The long (8-gram) table joins the probe on use_long levels —
+        // it is exactly where the longer match the lazy step hunts
+        // tends to live when the 6-gram bucket was evicted.
+        int32_t c1L = -1;
+        if (use_long) {
+          uint32_t lh1 = lhash_at(scan + 1);
+          c1L = lhead[lh1];
+          lhead[lh1] = static_cast<int32_t>(scan + 1);
+        }
         size_t l1 = 0;
         uint32_t o1 = 0;
-        for (int32_t cand : {c10, c11}) {
+        for (int32_t cand : {c1L, c10, c11}) {
           if (cand < 0) continue;
           size_t cp = static_cast<size_t>(cand);
           if (cp < scan + 1 && scan + 1 - cp <= window &&

@@ -141,6 +141,28 @@ def device_positions_to_claims(pos: np.ndarray, off: np.ndarray,
     return BlockSequences(lit, off, ml, last_lit)
 
 
+def deep_parse_pick(level: int, share: float, ctx_find: int,
+                    block_size: int) -> bool:
+    """Deep-level (L5+) parse selector: True -> hinted chain parse,
+    False -> device-finish walk (VERDICT r4 #3; r5 retune). Shared by
+    finish_block_host, scripts/deep_select_diag.py (which measures this
+    exact rule against a per-block oracle), and the routing unit test —
+    one definition so the diagnostic can never drift from the codec.
+
+    Measured per block on five probe corpora at L5/L7/L9/L12 (after the
+    r5 offset-priced chain scoring): dense text-like parses (literal
+    share ~0.01-0.03) always want the lazy chain parse with the device
+    claims as scored hints; at L7+ the priced chains win up to share
+    ~0.13 (semi-structured blocks); mixed/structured content above that
+    wants the device-finish walk, whose rep competition prices
+    structured offsets best of all. The first two blocks of a window
+    are the exception at ANY share below 0.40: their device claims are
+    context-starved (little or no cross-block window behind them), so a
+    fresh chain parse dominates by 2-5% regardless of composition."""
+    bar = 0.13 if level >= 7 else 0.05
+    return share < bar or (ctx_find < 2 * block_size and share < 0.40)
+
+
 def device_outputs_to_sequences(out: dict, block_index: int
                                 ) -> BlockSequences | None:
     """Convert one block's device arrays to a coalesced BlockSequences.
@@ -477,27 +499,13 @@ class TpuCodec:
         deep_hinted = False
         if seqs is not None and use_native and seqs.nseq \
                 and self.level >= 5 and not config.get().second_parse:
-            # Deep levels: ONE parse per block, selected by the claims'
-            # literal share (VERDICT r4 #3, replacing the best-of-two
-            # crutch at half its host cost). Per-block measurement
-            # (scripts/deep_select_diag.py, all four probe corpora at
-            # L5/L7/L9/L12 after the r5 offset-priced chain scoring):
-            # dense text-like parses (literal share ~0.01-0.03) always
-            # want the lazy chain parse with the device claims as
-            # scored hints; at L7+ the priced chains win up to share
-            # ~0.13 (semi-structured blocks); mixed/structured content
-            # above that wants the device-finish walk below, whose rep
-            # competition prices structured offsets best of all. The
-            # first two blocks of a window are the exception at ANY
-            # share below 0.40: their device claims are context-starved
-            # (little or no cross-block window behind them), so a fresh
-            # chain parse dominates by 2-5% regardless of composition.
-            # QZ_SECOND_PARSE=1 opts back into the r4 double parse.
+            # Deep levels: ONE parse per block, selected by the shared
+            # rule (deep_parse_pick above — rationale and measurements
+            # in its docstring). QZ_SECOND_PARSE=1 opts back into the
+            # r4 double parse.
             share = float(seqs.lit_lengths.sum()
                           + seqs.last_literals) / len(blk)
-            bar = 0.13 if self.level >= 7 else 0.05
-            deep_hinted = (share < bar
-                           or (ctx_find < 2 * bs and share < 0.40))
+            deep_hinted = deep_parse_pick(self.level, share, ctx_find, bs)
         if deep_hinted:
             hpos = (np.cumsum(seqs.lit_lengths + seqs.match_lengths)
                     - seqs.match_lengths)

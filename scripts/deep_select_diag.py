@@ -129,15 +129,13 @@ def main() -> None:
         body_h, body_w = both_bodies(buf, i, seqs, level, bs)
         lh = len(body_h) if body_h else blk_len
         lw = len(body_w) if body_w else blk_len
-        # Mirror the codec's selector (runtime/tpu_codec.py r5): share
-        # bar 0.13 at L7+ / 0.05 at L5-6, and the first two context-
-        # starved blocks take the hinted parse below share 0.40.
+        # The codec's actual selector — shared function, cannot drift.
         from qat_zstd_plugin_tpu.golden import codec as _gc
+        from qat_zstd_plugin_tpu.runtime.tpu_codec import deep_parse_pick
         win = 1 << _gc.level_params(level).window_log
         ctx_find = min(i * bs, max(0, win - bs))
-        bar = 0.13 if level >= 7 else 0.05
-        pick = ("hint" if share < bar
-                or (ctx_find < 2 * bs and share < 0.40) else "walk")
+        pick = "hint" if deep_parse_pick(level, share, ctx_find, bs) \
+            else "walk"
         rule_sz = lh if pick == "hint" else lw
         best_sz = min(lh, lw)
         tot_rule += rule_sz

@@ -18,7 +18,7 @@ the r5 priced chains + fast-matcher mini-lazy):
     L4              0.940    0.917   0.947   0.894     (r4 capture)
   software vs stock
     L1              0.958    0.903   0.952   0.649
-    L2              0.930    0.811   0.953   0.688
+    L2              0.917    0.759   0.954   0.688
     L3              0.962    0.955   0.963   0.869
 
 Deep levels (L5+) run ONE parse per block, selected by the device
@@ -53,8 +53,11 @@ QZ_FAST_LAZY=64): text L1 1.0079 -> 0.9033, mixed -2.8%, binary
 -1.3%, redundant unchanged, speed flat. The greedy chain levels
 (L3-L4) got the same conditional one-step lazy on finds < 32 bytes
 (QZ_CHAIN_LAZY_BAR, golden matcher mirrored): text L3 1.0085 ->
-0.9550, text8 L3/L4 -4.4%, redundant unchanged. Every software cell
-now beats stock on every probe corpus; the device path does too.
+0.9550, text8 L3/L4 -4.4%, redundant unchanged. The L2 long (8-gram)
+table joining the mini-lazy probe bought another 6% on 8 MB text
+(text L2 0.811 -> 0.759 at 2 MB, mixed 0.930 -> 0.917). Every
+software cell now beats stock on every probe corpus; the device path
+does too.
 """
 
 import numpy as np
