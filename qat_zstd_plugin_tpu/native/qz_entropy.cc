@@ -2499,6 +2499,29 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
           continue;
         }
       }
+      // One-step lazy on short non-rep gap takes (r5, same rule as
+      // the fast matcher's mini-lazy and the greedy chain levels): a
+      // 1-byte-later probe that scores past the one-literal cost
+      // de-fragments the gap parse. Gap bytes are a minority of the
+      // block, so the extra probe costs little.
+      if (len < QZ_CHAIN_LAZY_BAR && off != rep && p + 5 <= total) {
+        uint32_t offn = 0;
+        size_t ln = match_gap(p + 1, total, &offn);
+        if (i < nseq) ln = cap_overrun(p + 1, ln, Mi, Ei);
+        if (ln >= 4) {
+          int sc_n = static_cast<int>(ln) * 8 -
+                     (offn == rep ? 0 : qz::highbit(offn | 1));
+          int sc_c = static_cast<int>(len) * 8 -
+                     static_cast<int>(qz::highbit(off | 1));
+          if (sc_n > sc_c + 8) {
+            if (p + 8 <= total) insert(p);
+            ++p;
+            ++lead;
+            len = ln;
+            off = offn;
+          }
+        }
+      }
       // Backward extension into the pending literal run.
       size_t bk = 0;
       while (bk < lead && p - bk - 1 >= static_cast<size_t>(off) &&
