@@ -32,7 +32,7 @@ from .format.frame import BlockSequences
 from .runtime.device import Status, start_device, stop_device, status
 from .runtime.tpu_codec import TpuCodec
 
-__version__ = "0.3.1"
+__version__ = "0.5.0"
 
 # Sentinel mirroring ZSTD_SEQUENCE_PRODUCER_ERROR (src/qatseqprod.h:94-95).
 SEQUENCE_PRODUCER_ERROR = object()
