@@ -2503,8 +2503,14 @@ size_t qz_fill_gaps(const uint8_t* base, size_t ctx_len, size_t n,
       // the fast matcher's mini-lazy and the greedy chain levels): a
       // 1-byte-later probe that scores past the one-literal cost
       // de-fragments the gap parse. Gap bytes are a minority of the
-      // block, so the extra probe costs little.
-      if (len < QZ_CHAIN_LAZY_BAR && off != rep && p + 5 <= total) {
+      // block, so the extra probe costs little. Fast (relaxed) levels
+      // only: their width-quantized claims leave fragmented gaps that
+      // the shift repairs (device text L1/L2 -0.25%), while deep
+      // levels' denser claims measured a ~0.4% LOSS on mixed L9-L12
+      // from the same shift (the stricter gap economics there already
+      // suppress the short takes worth shifting).
+      if (relaxed && len < QZ_CHAIN_LAZY_BAR && off != rep &&
+          p + 5 <= total) {
         uint32_t offn = 0;
         size_t ln = match_gap(p + 1, total, &offn);
         if (i < nseq) ln = cap_overrun(p + 1, ln, Mi, Ei);

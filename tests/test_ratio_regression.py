@@ -12,8 +12,8 @@ corpora, after the unified finishing walk with claim competition and
 the r5 priced chains + fast-matcher mini-lazy):
 
   device vs stock   mixed0   text    binary  redundant
-    L1              0.973    0.964   0.941   0.723
-    L2              0.962    0.901   0.941   0.674
+    L1              0.972    0.962   0.941   0.723
+    L2              0.962    0.899   0.941   0.674
     L3              0.958    0.981   0.959   0.873
     L4              0.940    0.917   0.947   0.894     (r4 capture)
   software vs stock
